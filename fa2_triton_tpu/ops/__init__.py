@@ -1,0 +1,12 @@
+from fa2_triton_tpu.ops.attention import flash_attn_func, AttnConfig
+from fa2_triton_tpu.ops.reference import flash_attn_reference, construct_local_mask
+from fa2_triton_tpu.ops.tuning import BlockSizes, choose_block_sizes
+
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_reference",
+    "construct_local_mask",
+    "AttnConfig",
+    "BlockSizes",
+    "choose_block_sizes",
+]

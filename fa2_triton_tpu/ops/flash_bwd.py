@@ -1,0 +1,411 @@
+"""FlashAttention-2 backward as Pallas TPU kernels.
+
+TPU-native re-design of the reference backward pass
+(`/root/reference/src/backward/{caller,kernel,compute_dkdv,compute_dq,compute_delta}.py`):
+
+* The reference fuses dq and dk/dv programs into one Triton launch to fill
+  SMs (`src/backward/kernel.py:154-182`); a TPU core runs its grid
+  sequentially, so the two passes are two `pallas_call`s, each pipelined by
+  Mosaic. The deterministic no-atomics ownership model is preserved by
+  construction: the dq pass owns q-row blocks (KV innermost), the dk/dv pass
+  owns kv-column blocks (q innermost) — bitwise-deterministic, like
+  `tests/test_repeatability.py` demands of the reference.
+* Attention probabilities are recomputed from the stored base-2 logsumexp:
+  p = exp2(s*scale*log2e - lse) (reference `compute_dq.py:52-77`,
+  `compute_dkdv.py:71-110`), then ds = p * (dp - delta) * scale.
+* GQA: instead of materializing per-q-head dk/dv and summing on the host
+  (`src/backward/caller.py:162-165`), the dk/dv grid's innermost dimension
+  walks (group member, q block) pairs so the whole query-head group
+  accumulates into one VMEM scratch tile — no extra HBM traffic.
+* delta = rowsum(o * do) is a plain fused jnp reduction (the reference needs
+  a dedicated `_compute_delta` kernel; XLA fuses this for free).
+* Unlike the reference (`src/utils.py:88` raises for backward+dropout), the
+  counter-based dropout mask is regenerated here, so dropout training works
+  end to end.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fa2_triton_tpu.utils import LOG2E, interpret_mode
+from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
+
+MASK_LOG2 = -1e30
+
+
+def _recompute_p_and_ds(
+    q, k, v, do, lse_row, delta_row,
+    *,
+    scale, causal, window, softcap, dropout_p,
+    bias_blk,               # (bq, bkv) f32 or None
+    row_lo, col_lo,         # global scalar offsets of this tile
+    q_len, kv_len, shift,   # traced scalars
+    block_q, block_kv,
+    seed, b, h, num_q_heads, seqlen_q_real, seqlen_k_real,
+):
+    """Shared tile math for both backward passes.
+
+    Returns (p_drop, ds) where p_drop is the dropout-compensated probability
+    tile used for dV, and ds is the pre-scale score gradient used for both
+    dq and dk (already multiplied by d(score)/d(raw qk) including softcap and
+    the softmax scale).
+    """
+    s_raw = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    t = s_raw * scale
+    if softcap > 0.0:
+        capped = jnp.tanh(t / softcap) * softcap
+    else:
+        capped = t
+    s_nat = capped + bias_blk if bias_blk is not None else capped
+
+    row_g = row_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+    col_g = col_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+    keep = jnp.logical_and(col_g < kv_len, row_g < q_len)
+    right = 0 if causal else window[1]
+    if causal or window[1] >= 0:
+        keep = jnp.logical_and(keep, col_g <= row_g + shift + right)
+    if window[0] >= 0:
+        keep = jnp.logical_and(keep, col_g >= row_g + shift - window[0])
+
+    # p = exp2(s2 - lse); masked entries -> 0. lse may be -inf on fully
+    # masked rows, so mask before exponentiating with a finite fill.
+    s2 = jnp.where(keep, s_nat * LOG2E, MASK_LOG2)
+    p = jnp.exp2(s2 - lse_row)
+    p = jnp.where(keep, p, 0.0)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_p > 0.0:
+        flat = (
+            (b.astype(jnp.uint32) * jnp.uint32(num_q_heads) + h.astype(jnp.uint32))
+            * jnp.uint32(seqlen_q_real) + row_g.astype(jnp.uint32)
+        ) * jnp.uint32(seqlen_k_real) + col_g.astype(jnp.uint32)
+        bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+        keep_drop = bits >= jnp.uint32(dropout_threshold(dropout_p))
+        inv = 1.0 / (1.0 - dropout_p)
+        p_drop = jnp.where(keep_drop, p * inv, 0.0)
+        dp = jnp.where(keep_drop, dp * inv, 0.0)
+    else:
+        p_drop = p
+
+    dsoft = p * (dp - delta_row)
+    if softcap > 0.0:
+        dsoft = dsoft * (1.0 - (capped / softcap) ** 2)
+    ds = dsoft * scale
+    return p_drop, ds
+
+
+def _dq_kernel(
+    lens_ref, scal_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    dq_ref,
+    acc_scr,
+    *,
+    scale, causal, window, softcap, dropout_p,
+    block_q, block_kv, num_kv_blocks,
+    seqlen_q_real, seqlen_k_real, num_q_heads,
+    last_kv_block_fn,
+):
+    b, h, iq, ik = (pl.program_id(i) for i in range(4))
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if last_kv_block_fn is not None:
+        last_ik = last_kv_block_fn(iq)
+        is_last = ik == last_ik
+    else:
+        last_ik = None
+        is_last = ik == num_kv_blocks - 1
+
+    def _compute():
+        lse_row = lse_ref[0, 0]
+        delta_row = delta_ref[0, 0]
+        k = k_ref[0, 0]
+        _, ds = _recompute_p_and_ds(
+            q_ref[0, 0], k, v_ref[0, 0], do_ref[0, 0], lse_row, delta_row,
+            scale=scale, causal=causal, window=window, softcap=softcap,
+            dropout_p=dropout_p,
+            bias_blk=None if bias_ref is None else bias_ref[0, 0].astype(jnp.float32),
+            row_lo=q_off + iq * block_q, col_lo=kv_off + ik * block_kv,
+            q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+            block_q=block_q, block_kv=block_kv,
+            seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+            seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+        )
+        acc_scr[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if last_ik is None:
+        _compute()
+    else:
+        pl.when(ik <= last_ik)(_compute)
+
+    @pl.when(is_last)
+    def _finalize():
+        dq_ref[0, 0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _dq_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, delta_ref, dq_ref, acc_scr, **kw):
+    return _dq_kernel(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, delta_ref, None, dq_ref, acc_scr, **kw)
+
+
+def _dkdv_kernel(
+    lens_ref, scal_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *,
+    scale, causal, window, softcap, dropout_p,
+    block_q, block_kv, num_q_blocks, group,
+    seqlen_q_real, seqlen_k_real, num_q_heads,
+    first_q_block_fn,
+):
+    b, hkv, ikv, e = (pl.program_id(i) for i in range(4))
+    iq = e % num_q_blocks
+    g = e // num_q_blocks
+    h = hkv * group + g
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+
+    @pl.when(e == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    def _compute():
+        lse_row = lse_ref[0, 0]
+        delta_row = delta_ref[0, 0]
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        p_drop, ds = _recompute_p_and_ds(
+            q, k_ref[0, 0], v_ref[0, 0], do, lse_row, delta_row,
+            scale=scale, causal=causal, window=window, softcap=softcap,
+            dropout_p=dropout_p,
+            bias_blk=None if bias_ref is None else bias_ref[0, 0].astype(jnp.float32),
+            row_lo=q_off + iq * block_q, col_lo=kv_off + ikv * block_kv,
+            q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+            block_q=block_q, block_kv=block_kv,
+            seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+            seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+        )
+        dv_scr[...] += jax.lax.dot_general(
+            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if first_q_block_fn is None:
+        _compute()
+    else:
+        pl.when(iq >= first_q_block_fn(ikv))(_compute)
+
+    @pl.when(e == group * num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dkdv_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                        **kw):
+    return _dkdv_kernel(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, delta_ref, None, dk_ref, dv_ref,
+                        dk_scr, dv_scr, **kw)
+
+
+def flash_attn_backward(
+    q, k, v, do, o, lse,        # BHSD padded; lse [B, Hq, Sq, 1] f32 (base-2)
+    lens, scalars, bias,
+    *,
+    causal: bool,
+    softmax_scale: float,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    block_q: int = 256,
+    block_kv: int = 256,
+    seqlen_q_real: Optional[int] = None,
+    seqlen_k_real: Optional[int] = None,
+    static_skip: bool = False,
+    debug_interpret: Optional[bool] = None,
+):
+    """Returns (dq, dk, dv) in input dtypes, deterministic by construction."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    assert Sq % block_q == 0 and Sk % block_kv == 0
+    group = Hq // Hkv
+    nq, nkv = Sq // block_q, Sk // block_kv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    # delta = rowsum(o * do), fp32 (reference `compute_delta.py`); a fused
+    # XLA reduction, no dedicated kernel needed on TPU.
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+
+    last_kv_fn = None
+    first_q_fn = None
+    if causal and static_skip:
+        shift_static = sk_real - sq_real
+
+        def last_kv_fn(iq):
+            last_col = iq * block_q + block_q - 1 + shift_static
+            return jnp.clip(last_col // block_kv, 0, nkv - 1)
+
+        def first_q_fn(ikv):
+            return jnp.clip((ikv * block_kv - shift_static) // block_q, 0, nq - 1)
+
+    common = dict(
+        scale=softmax_scale, causal=causal, window=window, softcap=softcap,
+        dropout_p=dropout_p, block_q=block_q, block_kv=block_kv,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+    )
+
+    # ---------------- dq pass: grid (B, Hq, nq, nkv) ----------------------
+    def kv_index(b, h, iq, ik):
+        if last_kv_fn is not None:
+            ik = jnp.minimum(ik, last_kv_fn(iq))
+        return (b, h // group, ik, 0)
+
+    def q_index(b, h, iq, ik):
+        return (b, h, iq, 0)
+
+    def row_index(b, h, iq, ik):
+        return (b, h, iq, 0)
+
+    dq_in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, D), q_index),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index),
+        pl.BlockSpec((1, 1, block_q, D), q_index),
+        pl.BlockSpec((1, 1, block_q, 1), row_index),
+        pl.BlockSpec((1, 1, block_q, 1), row_index),
+    ]
+    dq_args = [lens, scalars, q, k, v, do, lse, delta]
+    if bias is not None:
+        Bb, Hb = bias.shape[0], bias.shape[1]
+
+        def bias_index(b, h, iq, ik, _Bb=Bb, _Hb=Hb):
+            if last_kv_fn is not None:
+                ik = jnp.minimum(ik, last_kv_fn(iq))
+            return (b if _Bb != 1 else 0, h if _Hb != 1 else 0, iq, ik)
+
+        dq_in_specs.append(pl.BlockSpec((1, 1, block_q, block_kv), bias_index))
+        dq_args.append(bias)
+        dq_kernel_fn = _dq_kernel
+    else:
+        dq_kernel_fn = _dq_kernel_nobias
+
+    dq = pl.pallas_call(
+        functools.partial(dq_kernel_fn, num_kv_blocks=nkv,
+                          last_kv_block_fn=last_kv_fn, **common),
+        grid=(B, Hq, nq, nkv),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, D), q_index),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dq_args)
+
+    # ------------- dk/dv pass: grid (B, Hkv, nkv, group * nq) -------------
+    def e_decode(e):
+        return e // nq, e % nq  # (g, iq)
+
+    def q_index2(b, hkv, ikv, e):
+        g, iq = e_decode(e)
+        if first_q_fn is not None:
+            iq = jnp.maximum(iq, first_q_fn(ikv))
+        return (b, hkv * group + g, iq, 0)
+
+    def row_index2(b, hkv, ikv, e):
+        g, iq = e_decode(e)
+        if first_q_fn is not None:
+            iq = jnp.maximum(iq, first_q_fn(ikv))
+        return (b, hkv * group + g, iq, 0)
+
+    def kv_index2(b, hkv, ikv, e):
+        return (b, hkv, ikv, 0)
+
+    dkdv_in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, D), q_index2),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index2),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index2),
+        pl.BlockSpec((1, 1, block_q, D), q_index2),
+        pl.BlockSpec((1, 1, block_q, 1), row_index2),
+        pl.BlockSpec((1, 1, block_q, 1), row_index2),
+    ]
+    dkdv_args = [lens, scalars, q, k, v, do, lse, delta]
+    if bias is not None:
+        Bb, Hb = bias.shape[0], bias.shape[1]
+
+        def bias_index2(b, hkv, ikv, e, _Bb=Bb, _Hb=Hb):
+            g, iq = e_decode(e)
+            if first_q_fn is not None:
+                iq = jnp.maximum(iq, first_q_fn(ikv))
+            h = hkv * group + g
+            return (b if _Bb != 1 else 0, h if _Hb != 1 else 0, iq, ikv)
+
+        dkdv_in_specs.append(pl.BlockSpec((1, 1, block_q, block_kv), bias_index2))
+        dkdv_args.append(bias)
+        dkdv_kernel_fn = _dkdv_kernel
+    else:
+        dkdv_kernel_fn = _dkdv_kernel_nobias
+
+    dk, dv = pl.pallas_call(
+        functools.partial(dkdv_kernel_fn, num_q_blocks=nq, group=group,
+                          first_q_block_fn=first_q_fn, **common),
+        grid=(B, Hkv, nkv, group * nq),
+        in_specs=dkdv_in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, D), kv_index2),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index2),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dkdv_args)
+
+    return dq, dk, dv

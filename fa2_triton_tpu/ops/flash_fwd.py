@@ -1,0 +1,345 @@
+"""FlashAttention-2 forward as a Pallas TPU kernel.
+
+TPU-native re-design of the reference forward pass
+(`/root/reference/src/forward/kernel.py`, `src/forward/compute_row_blocks.py`,
+`src/forward/caller.py`):
+
+* The Triton launch grid `(q_row_blocks, batch*heads)` with an in-kernel KV
+  loop becomes a 4-D sequential Pallas grid `(batch, q_heads, q_blocks,
+  kv_blocks)` whose innermost dimension carries the online-softmax state in
+  VMEM scratch across steps — Mosaic pipelines the K/V block DMA against the
+  MXU compute automatically (the hand-rolled double-buffering of the reference
+  is the compiler's job here).
+* Triton's masked per-element loads become aligned-tile loads with in-kernel
+  positional masking; inputs are padded to block multiples by the host caller.
+* Causal block skipping: instead of Triton's `end_n` loop bound, the KV
+  BlockSpec index map clamps out-of-range KV block indices to the last needed
+  block (so no new DMA is issued) and `pl.when` skips the compute.
+* The online softmax follows the same algorithmic contract (SURVEY.md §2.2):
+  base-2 exponent domain with the scale folded by log2(e), running (m, l, acc)
+  state with `alpha = exp2(m_prev - m_new)` rescaling, and the stored
+  logsumexp in log-base-2 units.
+* GQA maps a query head h to KV head h // (Hq // Hkv) in the K/V index maps
+  (reference `src/forward/kernel.py:100-101`).
+* Dropout uses a counter-based jnp integer hash on global (b, h, row, col)
+  offsets (see `fa2_triton_tpu/utils/rng.py`) — replacing `tl.rand` Philox —
+  with the 1/(1-p) compensation folded into the final rescale like the
+  reference (`src/forward/kernel.py:255-260`).
+
+Beyond the reference kernels, this one also supports sliding windows and tanh
+softcapping (oracle-only features there), and global position offsets
+(q_offset/kv_offset) so ring/sequence-parallel attention can reuse it
+unchanged per KV shard.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fa2_triton_tpu.utils import LOG2E, interpret_mode
+from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
+
+# Finite mask constant in the log2 domain; exp2(x - m) underflows to 0 for any
+# plausible m. Finite so (masked - masked) never yields NaN.
+MASK_LOG2 = -1e30
+MASK_THRESH = -1e29
+
+LANES = 128
+
+
+def _fwd_kernel(
+    # SMEM scalars
+    lens_ref,      # [B, 2] int32: (q_len, kv_len) actual GLOBAL lengths
+    scal_ref,      # [1, 4] int32: (q_offset, kv_offset, dropout_seed, _)
+    # VMEM tensor blocks
+    q_ref,         # (1, 1, bq, dp)
+    k_ref,         # (1, 1, bkv, dp)
+    v_ref,         # (1, 1, bkv, dp)
+    bias_ref,      # (1, 1, bq, bkv) or None
+    # outputs
+    o_ref,         # (1, 1, bq, dp)
+    lse_ref,       # (1, 1, bq)
+    # scratch
+    m_scr,         # (bq, LANES) f32
+    l_scr,         # (bq, LANES) f32
+    acc_scr,       # (bq, dp) f32
+    *,
+    scale: float,
+    causal: bool,
+    window: Tuple[int, int],
+    softcap: float,
+    dropout_p: float,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    seqlen_q_real: int,
+    seqlen_k_real: int,
+    num_q_heads: int,
+    last_kv_block_fn,   # None, or fn(iq) -> last needed kv block (traced)
+    varlen: bool,       # per-batch lengths may be shorter than seqlen_*_real
+):
+    b, h, iq, ik = (pl.program_id(i) for i in range(4))
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if last_kv_block_fn is not None:
+        last_ik = last_kv_block_fn(iq)
+        is_last = ik == last_ik
+    else:
+        last_ik = None
+        is_last = ik == num_kv_blocks - 1
+
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if softcap > 0.0 or bias_ref is not None:
+            s = s * scale
+            if softcap > 0.0:
+                s = jnp.tanh(s / softcap) * softcap
+            if bias_ref is not None:
+                s = s + bias_ref[0, 0].astype(jnp.float32)
+            s2 = s * LOG2E
+        else:
+            s2 = s * (scale * LOG2E)
+
+        # ---- positional masking -------------------------------------------
+        # Global tile bounds (scalars). The causal/window diagonal is
+        # bottom-right aligned on actual lengths: keep iff
+        #   row + shift - left <= col <= row + shift + right,  shift = kv_len - q_len
+        shift = kv_len - q_len
+        row_lo = q_off + iq * block_q
+        row_hi = row_lo + block_q - 1
+        col_lo = kv_off + ik * block_kv
+        col_hi = col_lo + block_kv - 1
+
+        if varlen:
+            needs_col = col_hi >= kv_len
+        else:
+            # Only padded tail blocks can have invalid columns.
+            needs_col = col_hi >= kv_len  # kv_len == real len; padding beyond it
+        need = needs_col
+        right = 0 if causal else window[1]
+        if causal or window[1] >= 0:
+            need = jnp.logical_or(need, col_hi > row_lo + shift + right)
+        if window[0] >= 0:
+            need = jnp.logical_or(need, col_lo < row_hi + shift - window[0])
+
+        def _masked(s2):
+            row_g = row_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            col_g = col_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            keep = col_g < kv_len
+            if causal or window[1] >= 0:
+                keep = jnp.logical_and(keep, col_g <= row_g + shift + right)
+            if window[0] >= 0:
+                keep = jnp.logical_and(keep, col_g >= row_g + shift - window[0])
+            return jnp.where(keep, s2, MASK_LOG2)
+
+        s2 = jax.lax.cond(need, _masked, lambda x: x, s2)
+
+        # ---- online softmax (base-2) --------------------------------------
+        m_prev = m_scr[...]
+        m_cur = jnp.max(s2, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
+        p = jnp.exp2(s2 - m_new[:, :1])
+        # Rows entirely masked so far would get p == 1 on masked entries
+        # (0 - 0 in the exponent); kill them with a per-row select.
+        p = jnp.where(m_new[:, :1] > MASK_THRESH, p, 0.0)
+
+        # The softmax denominator uses the UNDROPPED sum (dropout only zeroes
+        # the PV numerator; oracle applies the mask after normalization).
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        if dropout_p > 0.0:
+            # Counter over REAL (unpadded) extents so the oracle-side mask
+            # grid matches; padded rows/cols are masked out elsewhere.
+            row_g = row_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            col_g = col_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            flat = (
+                (b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
+                 + h.astype(jnp.uint32)) * jnp.uint32(seqlen_q_real)
+                + row_g.astype(jnp.uint32)
+            ) * jnp.uint32(seqlen_k_real) + col_g.astype(jnp.uint32)
+            bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+            keep = bits >= jnp.uint32(dropout_threshold(dropout_p))
+            p = jnp.where(keep, p, 0.0)
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    if last_ik is None:
+        _compute()
+    else:
+        pl.when(ik <= last_ik)(_compute)
+
+    @pl.when(is_last)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        if dropout_p > 0.0:
+            l_inv = l_inv / (1.0 - dropout_p)
+        o = acc_scr[...] * l_inv
+        # Zero rows beyond the actual query length (padded / masked-out),
+        # matching the oracle's query-padding zero-fill.
+        row_g = q_off + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )
+        o = jnp.where(row_g < q_len, o, 0.0)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log2(l_scr[:, :1])
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def _fwd_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref,
+                       o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw):
+    return _fwd_kernel(lens_ref, scal_ref, q_ref, k_ref, v_ref, None,
+                       o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
+
+
+def flash_attn_forward(
+    q: jax.Array,               # [B, Hq, Sq, D]  BHSD, padded to blocks/lanes
+    k: jax.Array,               # [B, Hkv, Sk, D]
+    v: jax.Array,               # [B, Hkv, Sk, D]
+    lens: jax.Array,            # [B, 2] int32 (q_len, kv_len) actual lengths
+    scalars: jax.Array,         # [1, 4] int32 (q_off, kv_off, dropout_seed, _)
+    bias: Optional[jax.Array],  # [Bb, Hb, Sq, Sk] or None (Bb/Hb may be 1)
+    *,
+    causal: bool,
+    softmax_scale: float,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    block_q: int = 512,
+    block_kv: int = 512,
+    seqlen_q_real: Optional[int] = None,
+    seqlen_k_real: Optional[int] = None,
+    static_skip: bool = False,
+    varlen: bool = False,
+    debug_interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Launch the forward kernel on BHSD tensors already padded to blocks.
+
+    Returns (o [B, Hq, Sq, D], lse [B, Hq, Sq] base-2 units, fp32).
+    """
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    assert Sq % block_q == 0 and Sk % block_kv == 0 and D % 128 == 0
+    group = Hq // Hkv
+    nq, nkv = Sq // block_q, Sk // block_kv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+
+    # Static causal skipping is sound when the causal shift is known at trace
+    # time: without a padding mask it's sk_real - sq_real; with a (shared
+    # q=kv) padding mask the per-batch shift is exactly 0 and sq_real ==
+    # sk_real. The caller asserts this via `static_skip`.
+    last_kv_fn = None
+    if causal and static_skip:
+        shift_static = sk_real - sq_real
+
+        def last_kv_fn(iq):
+            last_col = iq * block_q + block_q - 1 + shift_static
+            return jnp.clip(last_col // block_kv, 0, nkv - 1)
+
+    def kv_index(b, h, iq, ik):
+        if last_kv_fn is not None:
+            ik = jnp.minimum(ik, last_kv_fn(iq))
+        return (b, h // group, ik, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # lens
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index),
+    ]
+    args = [lens, scalars, q, k, v]
+    if bias is not None:
+        Bb, Hb = bias.shape[0], bias.shape[1]
+
+        def bias_index(b, h, iq, ik, _Bb=Bb, _Hb=Hb):
+            if last_kv_fn is not None:
+                ik = jnp.minimum(ik, last_kv_fn(iq))
+            return (b if _Bb != 1 else 0, h if _Hb != 1 else 0, iq, ik)
+
+        in_specs.append(pl.BlockSpec((1, 1, block_q, block_kv), bias_index))
+        args.append(bias)
+        kernel_fn = _fwd_kernel
+    else:
+        kernel_fn = _fwd_kernel_nobias
+
+    kernel = functools.partial(
+        kernel_fn,
+        scale=softmax_scale,
+        causal=causal,
+        window=window,
+        softcap=softcap,
+        dropout_p=dropout_p,
+        block_q=block_q,
+        block_kv=block_kv,
+        num_kv_blocks=nkv,
+        seqlen_q_real=sq_real,
+        seqlen_k_real=sk_real,
+        num_q_heads=Hq,
+        last_kv_block_fn=last_kv_fn,
+        varlen=varlen,
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+        # LSE as [B, Hq, Sq, 1]: a (block_q, 1) tile is Mosaic-legal where a
+        # trailing (1, block_q) one is not; callers squeeze the last axis.
+        jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik: (b, h, iq, 0)),
+    )
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, nq, nkv),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return o, lse

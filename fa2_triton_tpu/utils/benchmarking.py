@@ -1,0 +1,59 @@
+"""Device-time measurement that survives high host<->device latency.
+
+The axon TPU tunnel adds ~25ms fixed RPC latency per host sync, so per-call
+wall-clock timing (the `triton.testing.do_bench` analog) is useless. Instead
+we run N dependent iterations of the function inside ONE jitted
+`lax.fori_loop` (each iteration feeds its output back into the first
+argument, preventing elision) and difference two iteration counts to cancel
+the fixed overhead.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _chained_loop(fn: Callable, n: int, args):
+    """Run fn n times, mixing the output back into the first argument."""
+
+    def body(i, carry):
+        first, rest = carry[0], carry[1:]
+        out = fn(first, *rest)
+        # Mix output into the first arg (same shape/dtype required).
+        leaves_out = jax.tree_util.tree_leaves(out)
+        mixed = leaves_out[0].reshape(first.shape).astype(first.dtype)
+        return (mixed,) + rest
+
+    return jax.lax.fori_loop(0, n, body, tuple(args))[0]
+
+
+def device_time(fn: Callable, *args, iters: int = 20, warmup: bool = True,
+                reps: int = 3) -> float:
+    """Median per-iteration device time (seconds) of fn(*args).
+
+    fn's first output leaf must have the same size as its first argument
+    (used to chain iterations). Most attention-shaped functions qualify; wrap
+    otherwise.
+    """
+    lo = jax.jit(partial(_chained_loop, fn, 2))
+    hi = jax.jit(partial(_chained_loop, fn, 2 + iters))
+
+    def run(f):
+        return float(jnp.sum(f(args).astype(jnp.float32)))
+
+    run(lo), run(hi)  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(hi)
+        t_hi = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / iters)
+    ts.sort()
+    return max(ts[len(ts) // 2], 1e-9)

@@ -1,0 +1,75 @@
+"""Forward+backward numerics grid (reference `tests/test_fwd_bwd.py`).
+
+The default grid is a curated sweep of the reference's adversarial axes
+(prime seqlens, seqlen_q <> seqlen_k causal, odd head dims, GQA/MQA,
+mask/bias); set FA2_FULL_GRID=1 for the reference-scale grid (slow on CPU
+interpret mode, intended for TPU runs).
+"""
+import os
+
+import jax.numpy as jnp
+import pytest
+
+from tests.core import run_attention_case
+
+FULL = bool(int(os.environ.get("FA2_FULL_GRID", "0")))
+
+# (seqlen_q, seqlen_k) pairs: aligned, prime, asymmetric both ways.
+SEQLEN_PAIRS = [
+    (128, 128),
+    (113, 255),
+    (255, 113),
+    (256, 256),
+    (1, 239),
+    (239, 1),
+] + ([(384, 37), (37, 384), (512, 512), (1024, 1024)] if FULL else [])
+
+HEAD_DIMS = [32, 40, 64, 111, 128] + ([207, 256] if FULL else [])
+HEADS = [(8, 2), (9, 9)] + ([(8, 1)] if FULL else [])
+DTYPES = [jnp.bfloat16] + ([jnp.float32] if FULL else [])
+
+
+@pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_seqlens(seqlen_q, seqlen_k, causal):
+    run_attention_case(2, 4, 2, seqlen_q, seqlen_k, 64, causal=causal)
+
+
+@pytest.mark.parametrize("head_dim", HEAD_DIMS)
+def test_head_dims(head_dim):
+    run_attention_case(2, 4, 2, 255, 255, head_dim, causal=True)
+
+
+@pytest.mark.parametrize("nheads_q,nheads_kv", HEADS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa(nheads_q, nheads_kv, causal):
+    run_attention_case(2, nheads_q, nheads_kv, 128, 128, 64, causal=causal)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("use_mask,use_bias", [(True, False), (False, True)])
+def test_mask_bias(causal, use_mask, use_bias):
+    run_attention_case(
+        4, 8, 2, 255, 255, 64, causal=causal,
+        use_attention_mask=use_mask, use_bias=use_bias,
+    )
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_dtypes(dtype):
+    run_attention_case(2, 4, 2, 256, 256, 128, causal=True, dtype=dtype)
+
+
+if FULL:
+
+    @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("head_dim", HEAD_DIMS)
+    @pytest.mark.parametrize("use_mask,use_bias", [(False, False), (True, False), (False, True)])
+    def test_full_grid(seqlen_q, seqlen_k, causal, head_dim, use_mask, use_bias):
+        if use_mask and seqlen_q != seqlen_k:
+            pytest.skip("mask requires seqlen_q == seqlen_k")
+        run_attention_case(
+            4, 8, 2, seqlen_q, seqlen_k, head_dim, causal=causal,
+            use_attention_mask=use_mask, use_bias=use_bias,
+        )

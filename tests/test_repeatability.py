@@ -1,0 +1,49 @@
+"""Determinism: repeated fwd+bwd runs must be bitwise identical
+(reference `tests/test_repeatability.py:18-53`).
+
+The kernels are deterministic *by construction* — dq owned per q-row block,
+dk/dv owned per kv-column block, no atomics anywhere (SURVEY.md §2.2) — and
+this test pins that property, plus NaN-freedom, on adversarial shapes
+including the reference's historical race configs
+(`tests/test_race_conditions.py:4-7` there: head dims 48/96 with prime
+seqlens).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fa2_triton_tpu import flash_attn_func
+from tests.utils import generate_attention_mask, generate_test_data
+
+N_RUNS = 5
+
+CONFIGS = [
+    # (nheads_q, nheads_kv, seqlen_q, seqlen_k, head_dim, causal, use_mask)
+    (4, 2, 255, 255, 64, True, True),
+    (4, 4, 113, 255, 48, False, False),   # historical race config shape
+    (4, 4, 255, 113, 96, True, False),    # historical race config shape
+]
+
+
+@pytest.mark.parametrize("config", CONFIGS)
+def test_repeatability(config):
+    hq, hkv, sq, sk, d, causal, use_mask = config
+    q, k, v, do = generate_test_data(2, hq, hkv, sq, sk, d, jnp.bfloat16)
+    mask = generate_attention_mask(2, sq) if use_mask else None
+
+    def fn(q, k, v):
+        return flash_attn_func(q, k, v, attention_mask=mask, causal=causal)
+
+    outs, grads = [], []
+    for _ in range(N_RUNS):
+        out, vjp = jax.vjp(fn, q, k, v)
+        dq, dk, dv = vjp(do)
+        for t in (out, dq, dk, dv):
+            assert not bool(jnp.any(jnp.isnan(t))), "NaN detected"
+        outs.append(out)
+        grads.append((dq, dk, dv))
+
+    for i in range(1, N_RUNS):
+        assert bool(jnp.all(outs[i] == outs[0])), f"out differs at run {i}"
+        for g, g0, name in zip(grads[i], grads[0], ("dq", "dk", "dv")):
+            assert bool(jnp.all(g == g0)), f"{name} differs at run {i}"
