@@ -1,17 +1,22 @@
-"""Benchmark driver — mirrors the reference protocol
-(`/root/reference/benchmarks/targetted_bench.py`: B=4, H=32, S=4096, D=128,
-fwd-only, median of repeated runs) on TPU.
+"""Benchmark driver — reference protocol (B=4, H=32, S=4096, D=128,
+fwd-only, `/root/reference/benchmarks/targetted_bench.py:11-19`) on TPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline is the speedup over XLA's native (dense, unfused) attention on
-the same chip — the analog of the reference's "Pytorch" comparison kernel
+vs_baseline = speedup over XLA's native (dense, unfused) attention on the
+same chip — the analog of the reference's "Pytorch" comparison kernel
 (`benchmarks/utils.py:24`).
 
+Timing uses `fa2_triton_tpu.utils.benchmarking.device_time`: N dependent
+iterations inside one jit, differenced iteration counts — immune to the
+~25ms host-sync latency of the TPU tunnel.
+
 Usage:
-  python bench.py                 # headline: fwd bf16 non-causal
-  python bench.py --suite        # full table (fwd/bwd, causal, seqlens)
+  python bench.py                    # headline: fwd bf16 non-causal S=4096
+  python bench.py --suite            # full table to stderr + headline JSON
+  python bench.py --mode fwdbwd
+  python bench.py --mode decode      # int8-KV decode tokens/s vs bf16 cache
 """
 from __future__ import annotations
 
@@ -19,33 +24,18 @@ import argparse
 import functools
 import json
 import math
-import statistics
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-
-def _timeit(fn, *args, warmup=10, reps=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+from fa2_triton_tpu.utils.benchmarking import device_time
 
 
 def attention_flops(B, Hq, Sq, Sk, D, causal, fwd_and_bwd=False):
-    # 2 matmuls fwd (QK^T and PV), 5 bwd; 2 flops per MAC.
     f = 4 * B * Hq * Sq * Sk * D
     if causal:
-        f = f / 2
+        f /= 2
     return f * (1 + 2.5) if fwd_and_bwd else f
 
 
@@ -58,7 +48,7 @@ def make_inputs(B, Sq, Sk, Hq, Hkv, D, dtype, seed=0):
 
 
 def xla_native_attention(q, k, v, causal):
-    """Dense unfused attention — the 'Pytorch oracle' analog baseline."""
+    """Dense unfused attention — the 'PyTorch oracle' analog baseline."""
     B, Sq, Hq, D = q.shape
     Sk, Hkv = k.shape[1], k.shape[2]
     kr = jnp.repeat(k, Hq // Hkv, axis=2)
@@ -71,65 +61,101 @@ def xla_native_attention(q, k, v, causal):
     return jnp.einsum("bhts,bshd->bthd", p, vr)
 
 
-def bench_config(B, Sq, Sk, Hq, Hkv, D, dtype, causal, mode="fwd",
-                 include_baseline=True):
+def bench_attention(B, S, Hq, Hkv, D, dtype, causal, mode):
     from fa2_triton_tpu import flash_attn_func
 
-    q, k, v = make_inputs(B, Sq, Sk, Hq, Hkv, D, dtype)
-
+    q, k, v = make_inputs(B, S, S, Hq, Hkv, D, dtype)
     if mode == "fwd":
-        ours = jax.jit(functools.partial(flash_attn_func, causal=causal))
-        base = jax.jit(functools.partial(xla_native_attention, causal=causal))
-        t_ours = _timeit(ours, q, k, v)
-        t_base = _timeit(base, q, k, v) if include_baseline else float("nan")
-        flops = attention_flops(B, Hq, Sq, Sk, D, causal)
+        ours = functools.partial(flash_attn_func, causal=causal)
+        base = functools.partial(xla_native_attention, causal=causal)
+        t_ours = device_time(ours, q, k, v, iters=10)
+        t_base = device_time(base, q, k, v, iters=10)
+        flops = attention_flops(B, Hq, S, S, D, causal)
     else:
         do = jax.random.normal(jax.random.PRNGKey(7), q.shape, dtype)
 
-        def grad_ours(q, k, v, do):
-            out, vjp = jax.vjp(functools.partial(flash_attn_func, causal=causal), q, k, v)
-            return out, vjp(do)
+        def with_grad(attn):
+            def fn(q, k, v, do):
+                out, vjp = jax.vjp(attn, q, k, v)
+                return (out,) + vjp(do)
+            return fn
 
-        def grad_base(q, k, v, do):
-            out, vjp = jax.vjp(functools.partial(xla_native_attention, causal=causal), q, k, v)
-            return out, vjp(do)
-
-        t_ours = _timeit(jax.jit(grad_ours), q, k, v, do)
-        t_base = _timeit(jax.jit(grad_base), q, k, v, do) if include_baseline else float("nan")
-        flops = attention_flops(B, Hq, Sq, Sk, D, causal, fwd_and_bwd=True)
-
+        t_ours = device_time(
+            with_grad(functools.partial(flash_attn_func, causal=causal)),
+            q, k, v, do, iters=8)
+        t_base = device_time(
+            with_grad(functools.partial(xla_native_attention, causal=causal)),
+            q, k, v, do, iters=8)
+        flops = attention_flops(B, Hq, S, S, D, causal, fwd_and_bwd=True)
     return {
-        "ms": t_ours * 1e3,
-        "baseline_ms": t_base * 1e3,
-        "tflops": flops / t_ours / 1e12,
-        "baseline_tflops": flops / t_base / 1e12,
-        "speedup": t_base / t_ours,
+        "ms": t_ours * 1e3, "baseline_ms": t_base * 1e3,
+        "tflops": flops / t_ours / 1e12, "speedup": t_base / t_ours,
+    }
+
+
+def bench_decode(B=32, Hq=32, Hkv=8, D=128, S_max=8192, fill=8192):
+    """Single decode step over an int8 KV cache vs bf16 cache (bandwidth
+    roof: quantization should approach 2x)."""
+    from fa2_triton_tpu.ops.decode import decode_attention
+    from fa2_triton_tpu.ops.quant import quantize_tensor
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, Hq, D), jnp.bfloat16) * 0.5
+    k = jax.random.normal(ks[1], (B, Hkv, S_max, D), jnp.bfloat16) * 0.5
+    v = jax.random.normal(ks[2], (B, Hkv, S_max, D), jnp.bfloat16) * 0.5
+    lens = jnp.full((B,), fill, jnp.int32)
+
+    t_bf16 = device_time(
+        lambda q, k, v: decode_attention(q, k, v, lens), q, k, v, iters=20)
+    kq, ksc = quantize_tensor(k, jnp.int8)
+    vq, vsc = quantize_tensor(v, jnp.int8)
+    t_int8 = device_time(
+        lambda q, kq, vq: decode_attention(q, kq, vq, lens, ksc, vsc),
+        q, kq, vq, iters=20)
+    # Each step streams the live KV bytes once.
+    bytes_bf16 = 2 * B * Hkv * fill * D * 2
+    bytes_int8 = 2 * B * Hkv * fill * (D * 1 + 4)
+    return {
+        "bf16_ms": t_bf16 * 1e3, "int8_ms": t_int8 * 1e3,
+        "bf16_gbps": bytes_bf16 / t_bf16 / 1e9,
+        "int8_gbps": bytes_int8 / t_int8 / 1e9,
+        "tokens_per_s_int8": B / t_int8,
+        "speedup": t_bf16 / t_int8,
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", action="store_true", help="run the full table")
+    ap.add_argument("--suite", action="store_true")
     ap.add_argument("--causal", action="store_true")
-    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwdbwd"])
+    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwdbwd", "decode"])
     ap.add_argument("--seqlen", type=int, default=4096)
     args = ap.parse_args()
 
+    if args.mode == "decode":
+        r = bench_decode()
+        print(f"decode: bf16 {r['bf16_ms']:.3f} ms ({r['bf16_gbps']:.0f} GB/s), "
+              f"int8 {r['int8_ms']:.3f} ms ({r['int8_gbps']:.0f} GB/s)",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "decode_tokens_per_s_int8kv_S8192",
+            "value": round(r["tokens_per_s_int8"], 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(r["speedup"], 3),
+        }))
+        return
+
     if args.suite:
-        rows = []
         for causal in (False, True):
             for mode in ("fwd", "fwdbwd"):
                 for S in (1024, 4096, 8192):
-                    r = bench_config(4, S, S, 32, 32, 128, jnp.bfloat16, causal, mode)
-                    rows.append((causal, mode, S, r))
+                    r = bench_attention(4, S, 32, 32, 128, jnp.bfloat16, causal, mode)
                     print(f"causal={causal} {mode} S={S}: {r['ms']:.3f} ms "
                           f"{r['tflops']:.1f} TFLOP/s (baseline {r['baseline_ms']:.3f} ms, "
-                          f"speedup {r['speedup']:.2f}x)", file=sys.stderr)
+                          f"{r['speedup']:.2f}x)", file=sys.stderr, flush=True)
 
-    # Headline (reference protocol): B=4 H=32 S=4096 D=128, fwd-only,
-    # non-causal (`benchmarks/targetted_bench.py:11-19`), bf16 on TPU.
-    r = bench_config(4, args.seqlen, args.seqlen, 32, 32, 128, jnp.bfloat16,
-                     args.causal, args.mode)
+    r = bench_attention(4, args.seqlen, 32, 32, 128, jnp.bfloat16,
+                        args.causal, args.mode)
     print(json.dumps({
         "metric": f"attn_{args.mode}_tflops_per_s_S{args.seqlen}"
                   + ("_causal" if args.causal else ""),

@@ -1,0 +1,272 @@
+"""LLaMA-style decoder LM built on the flash-attention kernels.
+
+The reference is a kernel library with no model layer; this is the
+"minimum end-to-end slice" of SURVEY.md §7 step 5 (and the flagship model
+for serving/scale-out): RMSNorm + RoPE + GQA flash attention + SwiGLU,
+implemented as pure functions over a parameter pytree — idiomatic JAX
+(no framework dependency), trivially shardable with jax.sharding.
+
+Layout convention: activations [batch, seq, dim]; attention tensors BSHD
+(the `flash_attn_func` public layout).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fa2_triton_tpu.ops import flash_attn_func
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 2048
+    n_layers: int = 16
+    n_heads: int = 16
+    n_kv_heads: int = 4
+    hidden_dim: int = 5632          # SwiGLU inner dim
+    head_dim: Optional[int] = None  # defaults to dim // n_heads
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    max_seq_len: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.dim // self.n_heads
+
+
+Params = Dict[str, Any]
+
+
+def _dense_init(key, shape, in_axis_size, dtype):
+    return (jax.random.normal(key, shape, jnp.float32) / math.sqrt(in_axis_size)).astype(dtype)
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    layers = []
+    for li in range(cfg.n_layers):
+        k = jax.random.split(keys[li], 7)
+        layers.append({
+            "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "wq": _dense_init(k[0], (cfg.dim, cfg.n_heads * cfg.hd), cfg.dim, cfg.dtype),
+            "wk": _dense_init(k[1], (cfg.dim, cfg.n_kv_heads * cfg.hd), cfg.dim, cfg.dtype),
+            "wv": _dense_init(k[2], (cfg.dim, cfg.n_kv_heads * cfg.hd), cfg.dim, cfg.dtype),
+            "wo": _dense_init(k[3], (cfg.n_heads * cfg.hd, cfg.dim), cfg.n_heads * cfg.hd, cfg.dtype),
+            "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "w_gate": _dense_init(k[4], (cfg.dim, cfg.hidden_dim), cfg.dim, cfg.dtype),
+            "w_up": _dense_init(k[5], (cfg.dim, cfg.hidden_dim), cfg.dim, cfg.dtype),
+            "w_down": _dense_init(k[6], (cfg.hidden_dim, cfg.dim), cfg.hidden_dim, cfg.dtype),
+        })
+    return {
+        "embed": _dense_init(keys[-2], (cfg.vocab_size, cfg.dim), cfg.dim, cfg.dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "lm_head": _dense_init(keys[-1], (cfg.dim, cfg.vocab_size), cfg.dim, cfg.dtype),
+    }
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    rms = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * rms * weight).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """positions [.., S] int32 -> cos/sin [.., S, head_dim/2] fp32."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, S, H, D]; cos/sin broadcastable to [B, S, 1, D/2]."""
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention_block(
+    layer: Params, x: jax.Array, cfg: LlamaConfig,
+    cos, sin,
+    attention_fn: Callable,
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_len: Optional[jax.Array] = None,
+):
+    B, S, _ = x.shape
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q = (h @ layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd)
+    k = (h @ layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+    v = (h @ layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+    cs = cos[:, :, None, :]
+    sn = sin[:, :, None, :]
+    q = apply_rope(q, cs, sn)
+    k = apply_rope(k, cs, sn)
+    new_cache = None
+    if cache is not None:
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
+        new_cache = (ck, cv)
+        attn = attention_fn(q, ck, cv, cache_len + S)
+    else:
+        attn = attention_fn(q, k, v, None)
+    out = attn.reshape(B, S, cfg.n_heads * cfg.hd) @ layer["wo"]
+    return x + out, new_cache
+
+
+def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    gated = jax.nn.silu(h @ layer["w_gate"]) * (h @ layer["w_up"])
+    return x + gated @ layer["w_down"]
+
+
+def default_attention(q, k, v, _kv_len):
+    return flash_attn_func(q, k, v, causal=True)
+
+
+def forward(
+    params: Params,
+    tokens: jax.Array,            # [B, S] int32
+    cfg: LlamaConfig,
+    attention_fn: Callable = default_attention,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Training/prefill forward pass -> logits [B, S, vocab] (fp32)."""
+    B, S = tokens.shape
+    x = params["embed"][tokens]
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    for layer in params["layers"]:
+        x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
+        x = _mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig,
+            attention_fn: Callable = default_attention) -> jax.Array:
+    """Next-token cross-entropy, mean over positions."""
+    logits = forward(params, tokens[:, :-1], cfg, attention_fn)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+# ----------------------------- decoding ---------------------------------
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int):
+    return [
+        (
+            jnp.zeros((batch, max_len, cfg.n_kv_heads, cfg.hd), cfg.dtype),
+            jnp.zeros((batch, max_len, cfg.n_kv_heads, cfg.hd), cfg.dtype),
+        )
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def prefill_forward(
+    params: Params,
+    tokens: jax.Array,         # [B, S_pad] int32, right-padded
+    true_len: jax.Array,       # [B] int32
+    cfg: LlamaConfig,
+):
+    """Prompt prefill: causal self-attention over the (padded) prompt.
+    Returns (logits [B, S_pad, V], per-layer (k, v) in BSHD) for cache fill."""
+    B, S = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cs, sn = cos[:, :, None, :], sin[:, :, None, :]
+    mask = positions < true_len[:, None]
+    kvs = []
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = apply_rope((h @ layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd), cs, sn)
+        k = apply_rope((h @ layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd), cs, sn)
+        v = (h @ layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+        kvs.append((k, v))
+        attn = flash_attn_func(q, k, v, attention_mask=mask, causal=True)
+        x = x + attn.reshape(B, S, cfg.n_heads * cfg.hd) @ layer["wo"]
+        x = _mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32), kvs
+
+
+def decode_step(
+    params: Params,
+    tokens: jax.Array,        # [B] int32 — one token per slot
+    cfg: LlamaConfig,
+    caches,                   # runtime KV cache: list of layer dicts (BHSD)
+    lens: jax.Array,          # [B] int32 — tokens already in each slot
+    kv_cfg,                   # runtime.kv_cache.KVCacheConfig
+):
+    """One batched decode step over the serving KV cache (per-slot lengths,
+    quantized storage, `ops/decode.py` kernel). Returns (logits [B, V],
+    new_caches)."""
+    from fa2_triton_tpu.ops.decode import decode_attention
+    from fa2_triton_tpu.runtime.kv_cache import write_kv
+
+    B = tokens.shape[0]
+    x = params["embed"][tokens][:, None, :]       # [B, 1, dim]
+    cos, sin = rope_cos_sin(lens[:, None], cfg.hd, cfg.rope_theta)
+    cs, sn = cos[:, :, None, :], sin[:, :, None, :]
+    Dp = kv_cfg.head_dim_padded
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.hd)
+        k = (h @ layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        v = (h @ layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        q = apply_rope(q, cs, sn)
+        k = apply_rope(k, cs, sn)
+        cache = write_kv(cache, k, v, lens, kv_cfg)
+        new_caches.append(cache)
+        qp = q[:, 0]
+        if Dp != cfg.hd:
+            qp = jnp.pad(qp, ((0, 0), (0, 0), (0, Dp - cfg.hd)))
+        attn = decode_attention(
+            qp, cache["k"], cache["v"], lens + 1,
+            cache.get("k_scale"), cache.get("v_scale"),
+            # Scale from the MODEL head dim, not the lane-padded one.
+            softmax_scale=cfg.hd ** -0.5,
+            block_kv=kv_cfg.block_kv,
+        )[:, :, :cfg.hd]
+        x = x + attn.reshape(B, 1, cfg.n_heads * cfg.hd) @ layer["wo"]
+        x = _mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return (x[:, 0] @ params["lm_head"]).astype(jnp.float32), new_caches
+
+
+def forward_with_cache(
+    params: Params,
+    tokens: jax.Array,             # [B, S_step]
+    cfg: LlamaConfig,
+    caches,                        # list of (k, v) per layer
+    cache_len: jax.Array,          # scalar int32: tokens already in cache
+    cached_attention_fn: Callable, # (q, k_cache, v_cache, kv_len) -> out
+):
+    """One prefill/decode step; returns (logits [B, S_step, V], new caches)."""
+    B, S = tokens.shape
+    x = params["embed"][tokens]
+    positions = cache_len + jnp.arange(S, dtype=jnp.int32)
+    positions = jnp.broadcast_to(positions, (B, S))
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        x, new_cache = _attention_block(
+            layer, x, cfg, cos, sin, cached_attention_fn,
+            cache=cache, cache_len=cache_len,
+        )
+        new_caches.append(new_cache)
+        x = _mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32), new_caches

@@ -164,7 +164,9 @@ def flash_attn_func(
     scale = float(softmax_scale) if softmax_scale is not None else default_softmax_scale(D)
 
     Dp = round_up_to_multiple(D, 128)
-    blocks = block_sizes or choose_block_sizes(Sq, Sk, Dp)
+    blocks = block_sizes or choose_block_sizes(
+        Sq, Sk, Dp, causal=causal, has_bias=attention_bias is not None
+    )
     pad_q = max(blocks.block_q, blocks.block_q_bwd)
     pad_kv = max(blocks.block_kv, blocks.block_kv_bwd)
     # Shrink blocks for short sequences rather than padding past them.
@@ -207,3 +209,49 @@ def flash_attn_func(
     if return_lse:
         return out, lse[:, :, :Sq, 0]
     return out
+
+
+def flash_attn_with_kv_cache(
+    q: jax.Array,          # [B, S_step, Hq, D] — new queries
+    k_cache: jax.Array,    # [B, S_max, Hkv, D] — cache incl. the new tokens
+    v_cache: jax.Array,
+    kv_len: jax.Array,     # scalar int32: total valid tokens (cache + step)
+    softmax_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 512,
+) -> jax.Array:
+    """Decode/prefill attention over a KV cache prefix (inference path).
+
+    Query rows sit at global positions [kv_len - S_step, kv_len) and attend
+    causally to cache positions < kv_len, exercising the forward kernel's
+    global position offsets. Best performance when S_max is a multiple of
+    block_kv and head_dim a multiple of 128 (pre-padded caches); otherwise
+    this pads per call.
+    """
+    from fa2_triton_tpu.ops.flash_fwd import flash_attn_forward
+
+    B, S_step, Hq, D = q.shape
+    S_max = k_cache.shape[1]
+    scale = float(softmax_scale) if softmax_scale is not None else default_softmax_scale(D)
+    block_q = min(block_q, round_up_to_multiple(S_step, 128))
+    block_kv = min(block_kv, round_up_to_multiple(S_max, 128))
+
+    qT = pad_to_multiple(pad_to_multiple(_to_bhsd(q), block_q, 2), 128, 3)
+    kT = pad_to_multiple(pad_to_multiple(_to_bhsd(k_cache), block_kv, 2), 128, 3)
+    vT = pad_to_multiple(pad_to_multiple(_to_bhsd(v_cache), block_kv, 2), 128, 3)
+
+    kv_len = kv_len.astype(jnp.int32).reshape(())
+    q_off = kv_len - S_step
+    lens = jnp.broadcast_to(jnp.stack([kv_len, kv_len]).reshape(1, 2), (B, 2))
+    scalars = jnp.stack(
+        [q_off, jnp.int32(0), jnp.int32(0), jnp.int32(0)]
+    ).reshape(1, 4)
+
+    o, _ = flash_attn_forward(
+        qT, kT, vT, lens, scalars, None,
+        causal=True, softmax_scale=scale,
+        block_q=block_q, block_kv=block_kv,
+        seqlen_q_real=S_step, seqlen_k_real=S_max,
+        static_skip=False, varlen=True,
+    )
+    return jnp.transpose(o[:, :, :S_step, :D], (0, 2, 1, 3))

@@ -1,0 +1,164 @@
+"""Single-step decode attention over (optionally quantized) KV caches.
+
+The serving hot path: one new query token per sequence attends to that
+sequence's KV-cache prefix. Decode is HBM-bandwidth-bound (the cost is
+streaming the KV cache), so this kernel
+
+* batches each KV head's whole GQA query-head group into the tile rows
+  (the MXU tile is tiny but bandwidth is the roof),
+* takes per-sequence lengths as a PREFETCHED SCALAR so the KV BlockSpec
+  index map clamps past-the-end block indices — no DMA is issued beyond each
+  sequence's actual KV length (continuous batching with ragged lengths reads
+  only live bytes),
+* dequantizes INT8/FP8 K/V tiles in VMEM (per-token scales broadcast along
+  lanes — layout-natural, no relayout), fusing dequant into the attention
+  math; quantized caches halve/halve the streamed bytes vs bf16.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fa2_triton_tpu.utils import (
+    LOG2E,
+    default_softmax_scale,
+    interpret_mode,
+    pad_to_multiple,
+    round_up_to_multiple,
+)
+
+MASK_LOG2 = -1e30
+
+
+def _decode_kernel(
+    lens_ref,                    # prefetched [B] int32 (valid kv length)
+    q_ref,                       # (1, 1, Gp, Dp) compute dtype
+    k_ref, ks_ref,               # (1, 1, bkv, Dp) qdtype, (1, 1, bkv, 1) f32
+    v_ref, vs_ref,
+    o_ref,                       # (1, 1, Gp, Dp) compute dtype
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    block_kv: int,
+    quantized: bool,
+):
+    b, h, ik = (pl.program_id(i) for i in range(3))
+    kv_len = lens_ref[b]
+    last = jnp.maximum((kv_len - 1) // block_kv, 0)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(ik <= last)
+    def _compute():
+        q = q_ref[0, 0]
+        if quantized:
+            k = (k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]).astype(q.dtype)
+            v = (v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]).astype(q.dtype)
+        else:
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)
+        col = ik * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[0], block_kv), 1
+        )
+        s2 = jnp.where(col < kv_len, s2, MASK_LOG2)
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
+        p = jnp.exp2(s2 - m_new[:, :1])
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == last)
+    def _finalize():
+        l = l_scr[:, :1]
+        o = acc_scr[...] * jnp.where(l > 0.0, 1.0 / l, 0.0)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def decode_attention(
+    q: jax.Array,                 # [B, Hq, D] — one new token per sequence
+    k_cache: jax.Array,           # [B, Hkv, S_max, D] (qdtype or compute dtype)
+    v_cache: jax.Array,
+    kv_lens: jax.Array,           # [B] int32 — valid tokens per sequence
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_max, 1] f32 if quantized
+    v_scale: Optional[jax.Array] = None,
+    *,
+    softmax_scale: Optional[float] = None,
+    block_kv: int = 1024,
+    debug_interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Returns attention output [B, Hq, D]. Cache layout is BHSD with S_max
+    a multiple of block_kv and D a multiple of 128 (allocate caches padded —
+    see `runtime/kv_cache.py`)."""
+    B, Hq, D = q.shape
+    Hkv, S_max = k_cache.shape[1], k_cache.shape[2]
+    group = Hq // Hkv
+    assert Hq % Hkv == 0
+    quantized = k_scale is not None
+    scale = softmax_scale if softmax_scale is not None else default_softmax_scale(D)
+
+    block_kv = min(block_kv, round_up_to_multiple(S_max, 128))
+    assert S_max % block_kv == 0 and D % 128 == 0, (
+        "allocate caches padded: S_max % block_kv == 0, D % 128 == 0"
+    )
+    nkv = S_max // block_kv
+    Gp = max(8, round_up_to_multiple(group, 8))
+
+    # [B, Hq, D] -> [B, Hkv, Gp, D] (group-major rows per KV head).
+    qg = q.reshape(B, Hkv, group, D)
+    qg = pad_to_multiple(qg, Gp, 2)
+
+    if not quantized:
+        k_scale = jnp.ones((B, Hkv, S_max, 1), jnp.float32)
+        v_scale = jnp.ones((B, Hkv, S_max, 1), jnp.float32)
+
+    def kv_index(b, h, ik, lens_ref):
+        last = jnp.maximum((lens_ref[b] - 1) // block_kv, 0)
+        return (b, h, jnp.minimum(ik, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, D), jnp.float32),
+        ],
+    )
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+    o = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, scale=scale, block_kv=block_kv, quantized=quantized
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), qg, k_cache, k_scale, v_cache, v_scale)
+    return o[:, :, :group, :].reshape(B, Hq, D)

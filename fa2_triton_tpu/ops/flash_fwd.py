@@ -103,6 +103,22 @@ def _fwd_kernel(
         last_ik = None
         is_last = ik == num_kv_blocks - 1
 
+    # ---- static masking plan ----------------------------------------------
+    # lax.cond on a per-block "needs masking" predicate costs ~45% of kernel
+    # time on TPU (both branches materialize), so the mask is either compiled
+    # in unconditionally (cheap iota+compare+select on the VPU) or compiled
+    # out entirely, decided STATICALLY:
+    #   * column-validity mask: only if lengths can differ from the padded
+    #     extent (varlen) or the padded tail exceeds the real seqlen;
+    #   * diagonal mask: if causal or windowed.
+    # No per-element p-select is needed: rows with no valid column so far
+    # carry p == 1 poison, but the very first valid block rescales l/acc by
+    # exp2(MASK - m_new) == 0, and rows that NEVER see a valid column are
+    # overwritten in the finalizer.
+    seqlen_k_pad = num_kv_blocks * block_kv
+    need_col_mask = varlen or (seqlen_k_real < seqlen_k_pad)
+    need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
+
     def _compute():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -119,43 +135,33 @@ def _fwd_kernel(
         else:
             s2 = s * (scale * LOG2E)
 
-        # ---- positional masking -------------------------------------------
-        # Global tile bounds (scalars). The causal/window diagonal is
-        # bottom-right aligned on actual lengths: keep iff
-        #   row + shift - left <= col <= row + shift + right,  shift = kv_len - q_len
+        # The causal/window diagonal is bottom-right aligned on actual
+        # lengths: keep iff
+        #   row + shift - left <= col <= row + shift + right,
+        # with shift = kv_len - q_len (oracle `construct_local_mask`).
         shift = kv_len - q_len
         row_lo = q_off + iq * block_q
-        row_hi = row_lo + block_q - 1
         col_lo = kv_off + ik * block_kv
-        col_hi = col_lo + block_kv - 1
 
-        if varlen:
-            needs_col = col_hi >= kv_len
-        else:
-            # Only padded tail blocks can have invalid columns.
-            needs_col = col_hi >= kv_len  # kv_len == real len; padding beyond it
-        need = needs_col
-        right = 0 if causal else window[1]
-        if causal or window[1] >= 0:
-            need = jnp.logical_or(need, col_hi > row_lo + shift + right)
-        if window[0] >= 0:
-            need = jnp.logical_or(need, col_lo < row_hi + shift - window[0])
-
-        def _masked(s2):
-            row_g = row_lo + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
-            )
+        if need_col_mask or need_diag_mask:
             col_g = col_lo + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1
             )
-            keep = col_g < kv_len
-            if causal or window[1] >= 0:
-                keep = jnp.logical_and(keep, col_g <= row_g + shift + right)
-            if window[0] >= 0:
-                keep = jnp.logical_and(keep, col_g >= row_g + shift - window[0])
-            return jnp.where(keep, s2, MASK_LOG2)
-
-        s2 = jax.lax.cond(need, _masked, lambda x: x, s2)
+            keep = None
+            if need_col_mask:
+                keep = col_g < kv_len
+            if need_diag_mask:
+                row_g = row_lo + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 0
+                )
+                right = 0 if causal else window[1]
+                if causal or window[1] >= 0:
+                    c = col_g <= row_g + shift + right
+                    keep = c if keep is None else jnp.logical_and(keep, c)
+                if window[0] >= 0:
+                    c = col_g >= row_g + shift - window[0]
+                    keep = c if keep is None else jnp.logical_and(keep, c)
+            s2 = jnp.where(keep, s2, MASK_LOG2)
 
         # ---- online softmax (base-2) --------------------------------------
         m_prev = m_scr[...]
@@ -163,9 +169,6 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
         p = jnp.exp2(s2 - m_new[:, :1])
-        # Rows entirely masked so far would get p == 1 on masked entries
-        # (0 - 0 in the exponent); kill them with a per-row select.
-        p = jnp.where(m_new[:, :1] > MASK_THRESH, p, 0.0)
 
         # The softmax denominator uses the UNDROPPED sum (dropout only zeroes
         # the PV numerator; oracle applies the mask after normalization).
@@ -209,14 +212,24 @@ def _fwd_kernel(
         if dropout_p > 0.0:
             l_inv = l_inv / (1.0 - dropout_p)
         o = acc_scr[...] * l_inv
-        # Zero rows beyond the actual query length (padded / masked-out),
-        # matching the oracle's query-padding zero-fill.
+        # Dead rows (no valid column anywhere: beyond the actual query
+        # length, above a negative-shift causal diagonal, or outside the
+        # window) carry self-consistent garbage; overwrite them here with
+        # the oracle's zero-fill / lse = -inf convention.
         row_g = q_off + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0
         )
-        o = jnp.where(row_g < q_len, o, 0.0)
+        shift = kv_len - q_len
+        valid = row_g < q_len
+        right = 0 if causal else window[1]
+        if causal or window[1] >= 0:
+            valid = jnp.logical_and(valid, row_g + shift + right >= 0)
+        if window[0] >= 0:
+            valid = jnp.logical_and(valid, row_g + shift - window[0] < kv_len)
+        o = jnp.where(valid, o, 0.0)
         o_ref[0, 0] = o.astype(o_ref.dtype)
         lse = m_scr[:, :1] + jnp.log2(l_scr[:, :1])
+        lse = jnp.where(valid, lse, -jnp.inf)
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 

@@ -28,24 +28,48 @@ class BlockSizes:
 
 
 def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
-                       dtype_bits: int = 16) -> BlockSizes:
-    """Pick block sizes that fit comfortably in ~16MB VMEM with pipelining."""
+                       dtype_bits: int = 16, causal: bool = False,
+                       has_bias: bool = False) -> BlockSizes:
+    """Pick block sizes that fit comfortably in ~16MB VMEM with pipelining.
+
+    Values from the v5e sweep at S=4096 D=128 (see bench.py --tune):
+    non-causal peaks at (1024, 1024) ~132 TFLOP/s, causal at (512, 2048)
+    ~84 effective; bias tiles (block_q x block_kv f32, double-buffered) force
+    smaller blocks.
+    """
     # Budget shrinks as the (padded) head dim grows: acc/q/k/v tiles scale
     # linearly in head_dim, the s/p tile scales with block_q*block_kv.
     if head_dim_padded <= 128:
-        bq, bkv = 512, 1024
+        if has_bias:
+            bq, bkv = 512, 1024
+        elif causal:
+            bq, bkv = 512, 2048
+        else:
+            bq, bkv = 1024, 1024
     elif head_dim_padded <= 256:
         bq, bkv = 256, 512
     else:
         bq, bkv = 128, 256
     bq = min(bq, round_up_to_multiple(max(seqlen_q, 1), 128))
     bkv = min(bkv, round_up_to_multiple(max(seqlen_k, 1), 128))
-    # Backward keeps two f32 accumulators (dk, dv) resident plus the s/p and
-    # dp tiles, so tile more conservatively. Backward blocks must DIVIDE the
-    # forward blocks so one padding serves both passes.
-    bq_b = _divisor_block(bq, 256)
-    bkv_b = _divisor_block(bkv, 512 if head_dim_padded <= 128 else 256)
+    # Backward (v5e sweep): non-causal peaks at (512, 1024) ~81% MXU, causal
+    # at (1024, 512). Backward blocks and forward blocks must mutually divide
+    # max(fwd, bwd) so one padding serves both passes (all powers of two).
+    if head_dim_padded <= 128:
+        bq_b, bkv_b = (1024, 512) if causal else (512, 1024)
+        bq_b = min(bq_b, round_up_to_multiple(max(seqlen_q, 1), 128))
+        bkv_b = min(bkv_b, round_up_to_multiple(max(seqlen_k, 1), 128))
+        bq_b, bkv_b = _compatible(bq, bq_b), _compatible(bkv, bkv_b)
+    else:
+        bq_b = _divisor_block(bq, 256)
+        bkv_b = _divisor_block(bkv, 256)
     return BlockSizes(block_q=bq, block_kv=bkv, block_q_bwd=bq_b, block_kv_bwd=bkv_b)
+
+
+def _compatible(b_fwd: int, b_bwd: int) -> int:
+    """Ensure min(fwd, bwd) divides max(fwd, bwd); fall back to b_fwd."""
+    lo, hi = min(b_fwd, b_bwd), max(b_fwd, b_bwd)
+    return b_bwd if hi % lo == 0 else b_fwd
 
 
 def _divisor_block(block: int, cap: int) -> int:

@@ -1,0 +1,16 @@
+from fa2_triton_tpu.parallel.mesh import (
+    AXIS_DATA,
+    AXIS_MODEL,
+    AXIS_SEQ,
+    make_mesh,
+    param_pspecs,
+    shard_params,
+)
+from fa2_triton_tpu.parallel.attention import make_tp_attention
+from fa2_triton_tpu.parallel.ring import make_ring_attention, ring_attention_local
+
+__all__ = [
+    "AXIS_DATA", "AXIS_MODEL", "AXIS_SEQ",
+    "make_mesh", "param_pspecs", "shard_params",
+    "make_tp_attention", "make_ring_attention", "ring_attention_local",
+]

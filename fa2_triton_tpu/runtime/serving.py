@@ -1,0 +1,191 @@
+"""Continuous-batching serving engine.
+
+North-star surface (BASELINE.json: "serves continuous-batched decode"):
+a slot-based scheduler — new requests are prefilled into free KV-cache slots
+while the decode loop keeps stepping every active slot each iteration, so
+short and long generations share the batch without head-of-line blocking.
+
+All device work is jitted: prompt prefill per power-of-two length bucket
+(bounded recompiles) and ONE batched decode step over all slots (inactive
+slots step harmlessly and are ignored). Greedy sampling; tokens/s metrics.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fa2_triton_tpu.models.llama import (
+    LlamaConfig, decode_step, prefill_forward,
+)
+from fa2_triton_tpu.runtime.kv_cache import KVCacheConfig, init_cache, write_kv
+from fa2_triton_tpu.utils import next_power_of_2
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int
+    out_tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+@dataclass
+class EngineStats:
+    prefill_tokens: int = 0
+    decode_tokens: int = 0
+    decode_steps: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def decode_tokens_per_s(self) -> float:
+        return self.decode_tokens / self.wall_s if self.wall_s else 0.0
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        cfg: LlamaConfig,
+        n_slots: int = 8,
+        max_seq: int = 2048,
+        qdtype: Optional[Any] = None,
+        eos_id: Optional[int] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.eos_id = eos_id
+        self.kv_cfg = KVCacheConfig(
+            n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads, head_dim=cfg.hd,
+            max_seq=max_seq, n_slots=n_slots, qdtype=qdtype,
+            compute_dtype=cfg.dtype,
+            block_kv=min(1024, max_seq),
+        )
+        self.caches = init_cache(self.kv_cfg)
+        self.lens = jnp.zeros((n_slots,), jnp.int32)
+        self.last_tokens = jnp.zeros((n_slots,), jnp.int32)
+        self.slot_req: List[Optional[Request]] = [None] * n_slots
+        self.queue: List[Request] = []
+        self.stats = EngineStats()
+
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+        self._prefill_cache: Dict[int, Any] = {}
+
+    # ---------------- jitted device functions ---------------------------
+
+    def _decode_impl(self, tokens, caches, lens):
+        logits, caches = decode_step(
+            self.params, tokens, self.cfg, caches, lens, self.kv_cfg
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+
+    def _get_prefill(self, s_pad: int):
+        if s_pad not in self._prefill_cache:
+
+            def _prefill(params, tokens, true_len, caches, slot):
+                logits, kvs = prefill_forward(params, tokens, true_len, self.cfg)
+                new_caches = []
+                for cache, (k, v) in zip(caches, kvs):
+                    # Write the whole padded prompt into the slot's row; the
+                    # per-slot length keeps padded tail positions invisible.
+                    upd = write_kv(
+                        cache_slice(cache, slot), k, v,
+                        jnp.zeros((1,), jnp.int32), self.kv_cfg,
+                    )
+                    new_caches.append(cache_write_back(cache, upd, slot))
+                next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
+                return next_tok, new_caches
+
+            self._prefill_cache[s_pad] = jax.jit(_prefill, donate_argnums=(3,))
+        return self._prefill_cache[s_pad]
+
+    # ---------------- scheduling ----------------------------------------
+
+    def submit(self, prompt: List[int], max_new_tokens: int) -> Request:
+        req = Request(rid=len(self.queue), prompt=list(prompt),
+                      max_new_tokens=max_new_tokens)
+        self.queue.append(req)
+        return req
+
+    def _admit(self):
+        for slot, occupant in enumerate(self.slot_req):
+            if occupant is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            s_pad = max(64, next_power_of_2(len(req.prompt)))
+            assert s_pad <= self.kv_cfg.max_seq_padded
+            tokens = np.zeros((1, s_pad), np.int32)
+            tokens[0, : len(req.prompt)] = req.prompt
+            true_len = jnp.asarray([len(req.prompt)], jnp.int32)
+            next_tok, self.caches = self._get_prefill(s_pad)(
+                self.params, jnp.asarray(tokens), true_len, self.caches, slot
+            )
+            self.stats.prefill_tokens += len(req.prompt)
+            self.lens = self.lens.at[slot].set(len(req.prompt))
+            self.last_tokens = self.last_tokens.at[slot].set(next_tok)
+            req.out_tokens.append(int(next_tok))
+            self.slot_req[slot] = req
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        tok = req.out_tokens[-1] if req.out_tokens else None
+        exhausted = len(req.out_tokens) >= req.max_new_tokens
+        full = int(self.lens[slot]) + 1 >= self.kv_cfg.max_seq_padded
+        if (self.eos_id is not None and tok == self.eos_id) or exhausted or full:
+            req.done = True
+            self.slot_req[slot] = None
+
+    def step(self):
+        """One engine iteration: admit waiting requests, then decode all
+        active slots by one token."""
+        self._admit()
+        active = [s for s, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return False
+        next_tokens, self.caches = self._decode(
+            self.last_tokens, self.caches, self.lens
+        )
+        next_np = np.asarray(next_tokens)
+        self.lens = self.lens + jnp.asarray(
+            [1 if self.slot_req[s] is not None else 0 for s in range(len(self.slot_req))],
+            jnp.int32,
+        )
+        for s in active:
+            self.slot_req[s].out_tokens.append(int(next_np[s]))
+            self.stats.decode_tokens += 1
+            self._maybe_finish(s)
+        self.stats.decode_steps += 1
+        return True
+
+    def run(self, requests: List[Request] | None = None) -> EngineStats:
+        """Drain the queue (plus any given requests) to completion."""
+        if requests:
+            self.queue.extend(requests)
+        t0 = time.perf_counter()
+        while self.queue or any(r is not None for r in self.slot_req):
+            progressed = self.step()
+            if not progressed and not self.queue:
+                break
+        self.stats.wall_s = time.perf_counter() - t0
+        return self.stats
+
+
+# -------- slot slicing helpers (single-slot cache views) -----------------
+
+def cache_slice(cache: dict, slot: int) -> dict:
+    return {k: jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)
+            for k, v in cache.items()}
+
+
+def cache_write_back(cache: dict, upd: dict, slot: int) -> dict:
+    return {k: jax.lax.dynamic_update_slice_in_dim(cache[k], upd[k], slot, axis=0)
+            for k in cache}

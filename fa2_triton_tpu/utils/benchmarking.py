@@ -23,9 +23,12 @@ def _chained_loop(fn: Callable, n: int, args):
     def body(i, carry):
         first, rest = carry[0], carry[1:]
         out = fn(first, *rest)
-        # Mix output into the first arg (same shape/dtype required).
+        # Mix ALL output leaves into the first arg so nothing is dead-code
+        # eliminated (same shape/dtype required for the first leaf).
         leaves_out = jax.tree_util.tree_leaves(out)
         mixed = leaves_out[0].reshape(first.shape).astype(first.dtype)
+        for leaf in leaves_out[1:]:
+            mixed = mixed + jnp.sum(leaf).astype(first.dtype) * 1e-9
         return (mixed,) + rest
 
     return jax.lax.fori_loop(0, n, body, tuple(args))[0]

@@ -19,14 +19,12 @@ SEQLEN_PAIRS = [
     (128, 128),
     (113, 255),
     (255, 113),
-    (256, 256),
     (1, 239),
-    (239, 1),
-] + ([(384, 37), (37, 384), (512, 512), (1024, 1024)] if FULL else [])
+] + ([(256, 256), (239, 1), (384, 37), (37, 384), (512, 512), (1024, 1024)] if FULL else [])
 
 HEAD_DIMS = [32, 40, 64, 111, 128] + ([207, 256] if FULL else [])
 HEADS = [(8, 2), (9, 9)] + ([(8, 1)] if FULL else [])
-DTYPES = [jnp.bfloat16] + ([jnp.float32] if FULL else [])
+DTYPES = ([jnp.float32] if FULL else [])
 
 
 @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
@@ -41,7 +39,7 @@ def test_head_dims(head_dim):
 
 
 @pytest.mark.parametrize("nheads_q,nheads_kv", HEADS)
-@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("causal", [True] + ([False] if FULL else []))
 def test_gqa(nheads_q, nheads_kv, causal):
     run_attention_case(2, nheads_q, nheads_kv, 128, 128, 64, causal=causal)
 
@@ -50,14 +48,18 @@ def test_gqa(nheads_q, nheads_kv, causal):
 @pytest.mark.parametrize("use_mask,use_bias", [(True, False), (False, True)])
 def test_mask_bias(causal, use_mask, use_bias):
     run_attention_case(
-        4, 8, 2, 255, 255, 64, causal=causal,
+        2, 4, 2, 255, 255, 64, causal=causal,
         use_attention_mask=use_mask, use_bias=use_bias,
     )
 
 
-@pytest.mark.parametrize("dtype", DTYPES)
-def test_dtypes(dtype):
-    run_attention_case(2, 4, 2, 256, 256, 128, causal=True, dtype=dtype)
+# bf16 is the dtype of every other case in this file; an fp32 sweep only
+# runs in the FULL grid.
+if FULL:
+
+    @pytest.mark.parametrize("dtype", DTYPES)
+    def test_dtypes(dtype):
+        run_attention_case(2, 4, 2, 256, 256, 128, causal=True, dtype=dtype)
 
 
 if FULL:

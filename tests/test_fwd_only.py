@@ -11,7 +11,7 @@ import pytest
 from tests.core import run_attention_case
 
 
-@pytest.mark.parametrize("dropout_p", [0.0, 0.1, 0.5])
+@pytest.mark.parametrize("dropout_p", [0.1, 0.5])
 @pytest.mark.parametrize("causal", [False, True])
 def test_dropout_fwd(dropout_p, causal):
     run_attention_case(
