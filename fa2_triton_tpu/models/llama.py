@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from fa2_triton_tpu.ops import flash_attn_func
+from fa2_triton_tpu.ops.quant import qmatmul as _mm, quantize_weight
 
 
 @dataclass(frozen=True)
@@ -101,9 +102,9 @@ def _attention_block(
 ):
     B, S, _ = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = (h @ layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd)
-    k = (h @ layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
-    v = (h @ layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+    q = _mm(h, layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd)
+    k = _mm(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+    v = _mm(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
     cs = cos[:, :, None, :]
     sn = sin[:, :, None, :]
     q = apply_rope(q, cs, sn)
@@ -117,14 +118,14 @@ def _attention_block(
         attn = attention_fn(q, ck, cv, cache_len + S)
     else:
         attn = attention_fn(q, k, v, None)
-    out = attn.reshape(B, S, cfg.n_heads * cfg.hd) @ layer["wo"]
+    out = _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"])
     return x + out, new_cache
 
 
 def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    gated = jax.nn.silu(h @ layer["w_gate"]) * (h @ layer["w_up"])
-    return x + gated @ layer["w_down"]
+    gated = jax.nn.silu(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
+    return x + _mm(gated, layer["w_down"])
 
 
 def default_attention(q, k, v, _kv_len):
@@ -148,7 +149,7 @@ def forward(
         x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
         x = _mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32)
+    return _mm(x, params["lm_head"]).astype(jnp.float32)
 
 
 def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig,
@@ -190,15 +191,15 @@ def prefill_forward(
     kvs = []
     for layer in params["layers"]:
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = apply_rope((h @ layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd), cs, sn)
-        k = apply_rope((h @ layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd), cs, sn)
-        v = (h @ layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+        q = apply_rope(_mm(h, layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd), cs, sn)
+        k = apply_rope(_mm(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd), cs, sn)
+        v = _mm(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
         kvs.append((k, v))
         attn = flash_attn_func(q, k, v, attention_mask=mask, causal=True)
-        x = x + attn.reshape(B, S, cfg.n_heads * cfg.hd) @ layer["wo"]
+        x = x + _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"])
         x = _mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32), kvs
+    return _mm(x, params["lm_head"]).astype(jnp.float32), kvs
 
 
 def decode_step(
@@ -223,9 +224,9 @@ def decode_step(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.hd)
-        k = (h @ layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
-        v = (h @ layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        q = _mm(h, layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.hd)
+        k = _mm(h, layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        v = _mm(h, layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
         q = apply_rope(q, cs, sn)
         k = apply_rope(k, cs, sn)
         cache = write_kv(cache, k, v, lens, kv_cfg)
@@ -240,10 +241,10 @@ def decode_step(
             softmax_scale=cfg.hd ** -0.5,
             block_kv=kv_cfg.block_kv,
         )[:, :, :cfg.hd]
-        x = x + attn.reshape(B, 1, cfg.n_heads * cfg.hd) @ layer["wo"]
+        x = x + _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"])
         x = _mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return (x[:, 0] @ params["lm_head"]).astype(jnp.float32), new_caches
+    return _mm(x[:, 0], params["lm_head"]).astype(jnp.float32), new_caches
 
 
 def forward_with_cache(
@@ -270,3 +271,23 @@ def forward_with_cache(
         x = _mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return (x @ params["lm_head"]).astype(jnp.float32), new_caches
+
+
+QUANTIZABLE_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head")
+
+
+def quantize_model_params(params: Params, qdtype=jnp.int8) -> Params:
+    """Weight-only quantization (north-star INT8/FP8 weights): every large
+    matmul weight becomes {qvalues, qscale} with per-output-channel scales;
+    embeddings and norms stay high precision. All forward paths dispatch via
+    `ops.quant.qmatmul`, which fuses dequant into the matmul epilogue."""
+    def convert(d):
+        return {
+            k: (quantize_weight(w, qdtype) if k in QUANTIZABLE_KEYS else w)
+            for k, w in d.items()
+        }
+
+    out = dict(params)
+    out["layers"] = [convert(layer) for layer in params["layers"]]
+    out["lm_head"] = quantize_weight(params["lm_head"], qdtype)
+    return out

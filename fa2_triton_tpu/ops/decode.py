@@ -10,9 +10,13 @@ streaming the KV cache), so this kernel
   index map clamps past-the-end block indices — no DMA is issued beyond each
   sequence's actual KV length (continuous batching with ragged lengths reads
   only live bytes),
-* dequantizes INT8/FP8 K/V tiles in VMEM (per-token scales broadcast along
-  lanes — layout-natural, no relayout), fusing dequant into the attention
-  math; quantized caches halve/halve the streamed bytes vs bf16.
+* dequantizes INT8/FP8 K/V tiles in VMEM, fusing dequant into the attention
+  math. Scales live TRANSPOSED in HBM — [B, Hkv, 1, S_max] — so a block is a
+  contiguous (1, block_kv) row vector that broadcasts along lanes onto the
+  score columns: column scales commute with the QK^T contraction
+  (qk[i,j]*s_j) and with PV ((p o s_v) @ v), so dequant costs two cheap
+  row-vector multiplies and no relayouts. A [.., S, 1] layout would tile as
+  (block_kv, 1) — 128x VMEM waste and scatter-DMA descriptors.
 """
 from __future__ import annotations
 
@@ -38,8 +42,10 @@ MASK_LOG2 = -1e30
 def _decode_kernel(
     lens_ref,                    # prefetched [B] int32 (valid kv length)
     q_ref,                       # (1, 1, Gp, Dp) compute dtype
-    k_ref, ks_ref,               # (1, 1, bkv, Dp) qdtype, (1, 1, bkv, 1) f32
-    v_ref, vs_ref,
+    k_ref,                       # (1, 1, bkv, Dp) qdtype or compute dtype
+    v_ref,
+    ks_ref,                      # (1, 1, 1, bkv) f32 — only when quantized
+    vs_ref,
     o_ref,                       # (1, 1, Gp, Dp) compute dtype
     m_scr, l_scr, acc_scr,
     *,
@@ -60,15 +66,16 @@ def _decode_kernel(
     @pl.when(ik <= last)
     def _compute():
         q = q_ref[0, 0]
+        k = k_ref[0, 0]
         if quantized:
-            k = (k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]).astype(q.dtype)
-            v = (v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]).astype(q.dtype)
-        else:
-            k = k_ref[0, 0]
-            v = v_ref[0, 0]
+            k = k.astype(q.dtype)
         s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+        )
+        if quantized:
+            # Column scales commute with the contraction: qk[i,j] * s_k[j].
+            s2 = s2 * ks_ref[0, 0]
+        s2 = s2 * (scale * LOG2E)
         col = ik * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (q.shape[0], block_kv), 1
         )
@@ -79,8 +86,13 @@ def _decode_kernel(
         p = jnp.exp2(s2 - m_new[:, :1])
         m_scr[...] = m_new
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0]
+        if quantized:
+            # Row scales of V fold into P: (p o s_v) @ v_q.
+            p = p * vs_ref[0, 0]
+            v = v.astype(q.dtype)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -91,12 +103,18 @@ def _decode_kernel(
         o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _decode_kernel_noquant(lens_ref, q_ref, k_ref, v_ref, o_ref,
+                           m_scr, l_scr, acc_scr, **kw):
+    return _decode_kernel(lens_ref, q_ref, k_ref, v_ref, None, None,
+                          o_ref, m_scr, l_scr, acc_scr, **kw)
+
+
 def decode_attention(
     q: jax.Array,                 # [B, Hq, D] — one new token per sequence
     k_cache: jax.Array,           # [B, Hkv, S_max, D] (qdtype or compute dtype)
     v_cache: jax.Array,
     kv_lens: jax.Array,           # [B] int32 — valid tokens per sequence
-    k_scale: Optional[jax.Array] = None,   # [B, Hkv, S_max, 1] f32 if quantized
+    k_scale: Optional[jax.Array] = None,   # [B, Hkv, 1, S_max] f32 if quantized
     v_scale: Optional[jax.Array] = None,
     *,
     softmax_scale: Optional[float] = None,
@@ -105,7 +123,7 @@ def decode_attention(
 ) -> jax.Array:
     """Returns attention output [B, Hq, D]. Cache layout is BHSD with S_max
     a multiple of block_kv and D a multiple of 128 (allocate caches padded —
-    see `runtime/kv_cache.py`)."""
+    see `runtime/kv_cache.py`); scales transposed [B, Hkv, 1, S_max]."""
     B, Hq, D = q.shape
     Hkv, S_max = k_cache.shape[1], k_cache.shape[2]
     group = Hq // Hkv
@@ -124,24 +142,35 @@ def decode_attention(
     qg = q.reshape(B, Hkv, group, D)
     qg = pad_to_multiple(qg, Gp, 2)
 
-    if not quantized:
-        k_scale = jnp.ones((B, Hkv, S_max, 1), jnp.float32)
-        v_scale = jnp.ones((B, Hkv, S_max, 1), jnp.float32)
-
     def kv_index(b, h, ik, lens_ref):
         last = jnp.maximum((lens_ref[b] - 1) // block_kv, 0)
         return (b, h, jnp.minimum(ik, last), 0)
 
+    def scale_index(b, h, ik, lens_ref):
+        last = jnp.maximum((lens_ref[b] - 1) // block_kv, 0)
+        return (b, h, 0, jnp.minimum(ik, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index),
+        pl.BlockSpec((1, 1, block_kv, D), kv_index),
+    ]
+    args = [qg, k_cache, v_cache]
+    if quantized:
+        assert k_scale.shape == (B, Hkv, 1, S_max), k_scale.shape
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, block_kv), scale_index),
+            pl.BlockSpec((1, 1, 1, block_kv), scale_index),
+        ]
+        args += [k_scale, v_scale]
+        kernel_fn = _decode_kernel
+    else:
+        kernel_fn = _decode_kernel_noquant
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, block_kv, 1), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Gp, 128), jnp.float32),
@@ -152,7 +181,7 @@ def decode_attention(
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
     o = pl.pallas_call(
         functools.partial(
-            _decode_kernel, scale=scale, block_kv=block_kv, quantized=quantized
+            kernel_fn, scale=scale, block_kv=block_kv, quantized=quantized
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
@@ -160,5 +189,5 @@ def decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_lens.astype(jnp.int32), qg, k_cache, k_scale, v_cache, v_scale)
+    )(kv_lens.astype(jnp.int32), *args)
     return o[:, :, :group, :].reshape(B, Hq, D)

@@ -48,3 +48,34 @@ def quantize_kv(k: jax.Array, v: jax.Array, qdtype=jnp.int8):
     kq, ks = quantize_tensor(k, qdtype)
     vq, vs = quantize_tensor(v, qdtype)
     return (kq, ks), (vq, vs)
+
+
+# ----------------------- weight-only quantization -------------------------
+
+def quantize_weight(w: jax.Array, qdtype=jnp.int8) -> dict:
+    """Weight-only quantization of a [in, out] matrix with per-OUTPUT-channel
+    scales. The matmul dequant fuses into the epilogue:
+    x @ (wq * s_out) == (x @ wq) * s_out."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)          # [1, out]
+    qmax = INT8_MAX if qdtype == jnp.int8 else FP8_MAX
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
+    scaled = wf / scale
+    if qdtype == jnp.int8:
+        vals = jnp.clip(jnp.round(scaled), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    else:
+        vals = scaled.astype(qdtype)
+    return {"qvalues": vals, "qscale": scale.astype(jnp.float32)}
+
+
+def is_quantized_weight(w) -> bool:
+    return isinstance(w, dict) and "qvalues" in w
+
+
+def qmatmul(x: jax.Array, w) -> jax.Array:
+    """x @ w for plain or weight-only-quantized w (dequant in the epilogue)."""
+    if is_quantized_weight(w):
+        y = jnp.dot(x, w["qvalues"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w["qscale"]).astype(x.dtype)
+    return x @ w

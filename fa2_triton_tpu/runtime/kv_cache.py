@@ -41,7 +41,9 @@ class KVCacheConfig:
 def init_cache(cfg: KVCacheConfig) -> List[dict]:
     """One dict per layer: k, v [S, H, T, D] (+ k_scale, v_scale if quantized)."""
     shape = (cfg.n_slots, cfg.n_kv_heads, cfg.max_seq_padded, cfg.head_dim_padded)
-    sshape = (cfg.n_slots, cfg.n_kv_heads, cfg.max_seq_padded, 1)
+    # Scales transposed — [slots, H, 1, S] — the decode kernel's layout (a
+    # (1, block) row-vector tile; see ops/decode.py).
+    sshape = (cfg.n_slots, cfg.n_kv_heads, 1, cfg.max_seq_padded)
     vdtype = cfg.qdtype if cfg.qdtype is not None else cfg.compute_dtype
     layers = []
     for _ in range(cfg.n_layers):
@@ -79,14 +81,19 @@ def write_kv(
     if cfg.qdtype is not None:
         kq, ks = quantize_tensor(kT, cfg.qdtype)
         vq, vs = quantize_tensor(vT, cfg.qdtype)
+        ks = jnp.swapaxes(ks, 2, 3)   # [B, H, S, 1] -> [B, H, 1, S]
+        vs = jnp.swapaxes(vs, 2, 3)
 
         def upd(cache, val, off):
             return jax.lax.dynamic_update_slice(cache, val, (0, off, 0))
 
+        def upd_scale(cache, val, off):
+            return jax.lax.dynamic_update_slice(cache, val, (0, 0, off))
+
         out["k"] = jax.vmap(upd)(layer_cache["k"], kq, offsets)
         out["v"] = jax.vmap(upd)(layer_cache["v"], vq, offsets)
-        out["k_scale"] = jax.vmap(upd)(layer_cache["k_scale"], ks, offsets)
-        out["v_scale"] = jax.vmap(upd)(layer_cache["v_scale"], vs, offsets)
+        out["k_scale"] = jax.vmap(upd_scale)(layer_cache["k_scale"], ks, offsets)
+        out["v_scale"] = jax.vmap(upd_scale)(layer_cache["v_scale"], vs, offsets)
     else:
         def upd(cache, val, off):
             return jax.lax.dynamic_update_slice(cache, val, (0, off, 0))

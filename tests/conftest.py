@@ -13,4 +13,7 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# FA2_TEST_PLATFORM=tpu runs the suite against the real chip (compiled Mosaic
+# kernels instead of interpret mode); default is the 8-virtual-device CPU.
+if os.environ.get("FA2_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")

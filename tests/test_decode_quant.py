@@ -59,7 +59,10 @@ def test_decode_attention_quantized(qdtype):
     q, k, v, lens = _setup()
     kq, ks = quantize_tensor(k, qdtype)
     vq, vs = quantize_tensor(v, qdtype)
-    out = decode_attention(q, kq, vq, lens, ks, vs, block_kv=128)
+    # Kernel takes scales transposed: [B, H, S, 1] -> [B, H, 1, S].
+    out = decode_attention(q, kq, vq, lens,
+                           jnp.swapaxes(ks, 2, 3), jnp.swapaxes(vs, 2, 3),
+                           block_kv=128)
     # Matched bit-width oracle: dense attention over the dequantized cache.
     kd = dequantize_tensor(kq, ks)
     vd = dequantize_tensor(vq, vs)

@@ -11,8 +11,7 @@ import pytest
 from tests.core import run_attention_case
 
 
-@pytest.mark.parametrize("dropout_p", [0.1, 0.5])
-@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dropout_p,causal", [(0.1, False), (0.1, True), (0.5, False)])
 def test_dropout_fwd(dropout_p, causal):
     run_attention_case(
         2, 4, 2, 255, 255, 64, causal=causal, dropout_p=dropout_p,

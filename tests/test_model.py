@@ -53,7 +53,7 @@ def test_kv_cache_decode_matches_full_forward(params):
     global position offsets)."""
     from fa2_triton_tpu.ops.attention import flash_attn_with_kv_cache
 
-    B, S_prefill, S_total = 2, 48, 56
+    B, S_prefill, S_total = 2, 48, 52
     tokens = jax.random.randint(jax.random.PRNGKey(3), (B, S_total), 0, CFG.vocab_size)
 
     full_logits = forward(params, tokens, CFG)

@@ -15,7 +15,7 @@ import pytest
 from fa2_triton_tpu import flash_attn_func
 from tests.utils import generate_attention_mask, generate_test_data
 
-N_RUNS = 5
+N_RUNS = 3
 
 CONFIGS = [
     # (nheads_q, nheads_kv, seqlen_q, seqlen_k, head_dim, causal, use_mask)

@@ -32,7 +32,7 @@ def greedy_reference(params, prompt, n_new):
 def test_engine_matches_full_forward_greedy(params, qdtype):
     rng = np.random.RandomState(0)
     prompt = rng.randint(0, CFG.vocab_size, size=9).tolist()
-    n_new = 6
+    n_new = 3
     ref = greedy_reference(params, prompt, n_new)
 
     eng = Engine(params, CFG, n_slots=2, max_seq=256, qdtype=qdtype)

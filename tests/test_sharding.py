@@ -36,6 +36,26 @@ def test_ring_attention_matches_single_device(causal):
     assert _err(out, ref) < 2e-5
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_backward_matches_single_device(causal):
+    """Ring bwd: dq local, (k, v, dk, dv) travel the ring — must equal the
+    single-device custom_vjp gradients."""
+    mesh = make_mesh(data=1, model=1, seq=4)
+    q, k, v, do = generate_test_data(2, 4, 2, 512, 512, 64, jnp.float32)
+    fn = make_ring_attention(mesh, causal=causal)
+
+    out, vjp = jax.vjp(fn, q, k, v)
+    dq, dk, dv = vjp(do)
+    out_ref, vjp_ref = jax.vjp(
+        lambda q, k, v: flash_attn_func(q, k, v, causal=causal), q, k, v
+    )
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+    assert _err(out, out_ref) < 2e-5
+    assert _err(dq, dq_ref) < 2e-5, _err(dq, dq_ref)
+    assert _err(dk, dk_ref) < 2e-5, _err(dk, dk_ref)
+    assert _err(dv, dv_ref) < 2e-5, _err(dv, dv_ref)
+
+
 def test_ring_attention_gqa_with_tp():
     mesh = make_mesh(data=1, model=2, seq=4)
     q, k, v, _ = generate_test_data(2, 8, 4, 512, 512, 64, jnp.float32)
