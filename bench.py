@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import functools
 import json
-import math
 import sys
 
 import jax
@@ -47,18 +46,8 @@ def make_inputs(B, Sq, Sk, Hq, Hkv, D, dtype, seed=0):
     return q, k, v
 
 
-def xla_native_attention(q, k, v, causal):
-    """Dense unfused attention — the 'PyTorch oracle' analog baseline."""
-    B, Sq, Hq, D = q.shape
-    Sk, Hkv = k.shape[1], k.shape[2]
-    kr = jnp.repeat(k, Hq // Hkv, axis=2)
-    vr = jnp.repeat(v, Hq // Hkv, axis=2)
-    s = jnp.einsum("bthd,bshd->bhts", q * (1.0 / math.sqrt(D)), kr)
-    if causal:
-        mask = jnp.tril(jnp.ones((Sq, Sk), bool), k=Sk - Sq)
-        s = jnp.where(mask, s, -jnp.inf)
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
-    return jnp.einsum("bhts,bshd->bthd", p, vr)
+# Dense unfused attention — the 'PyTorch oracle' analog baseline.
+from fa2_triton_tpu.other_implementations import xla_attention as xla_native_attention  # noqa: E402
 
 
 def bench_attention(B, S, Hq, Hkv, D, dtype, causal, mode):

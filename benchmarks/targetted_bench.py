@@ -16,8 +16,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")  # repo root
 
-from bench import make_inputs, xla_native_attention  # noqa: E402
+from bench import make_inputs  # noqa: E402
 from fa2_triton_tpu import flash_attn_func  # noqa: E402
+from fa2_triton_tpu.other_implementations import (  # noqa: E402
+    jax_flash_attention, xla_attention,
+)
 from fa2_triton_tpu.utils.benchmarking import device_time  # noqa: E402
 
 BATCH = 4
@@ -38,19 +41,9 @@ def main():
 
     kernels = {
         "ours": functools.partial(flash_attn_func, causal=CAUSAL),
-        "xla-dense": functools.partial(xla_native_attention, causal=CAUSAL),
+        "xla-dense": functools.partial(xla_attention, causal=CAUSAL),
+        "stock-pallas": functools.partial(jax_flash_attention, causal=CAUSAL),
     }
-    try:
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-
-        def stock(q, k, v):
-            t = lambda x: jnp.transpose(x, (0, 2, 1, 3))
-            return t(flash_attention(t(q), t(k), t(v), causal=CAUSAL,
-                                     sm_scale=HEAD_DIM ** -0.5))
-
-        kernels["stock-pallas"] = stock
-    except Exception:
-        pass
 
     for name, fn in kernels.items():
         out = fn(q, k, v)

@@ -1,0 +1,78 @@
+"""Baseline attention implementations (benchmark comparison kernels).
+
+Mirrors the role of `/root/reference/src/other_implementations/
+flex_attention.py:14-26` — a third-party implementation used purely for
+benchmark comparisons, never as the numerics oracle (that is
+`fa2_triton_tpu.ops.reference`).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def xla_attention(
+    q: jax.Array,  # [B, Sq, Hq, D]
+    k: jax.Array,  # [B, Sk, Hkv, D]
+    v: jax.Array,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """Dense, unfused attention as XLA compiles it from idiomatic jnp code.
+
+    Chunked over heads with `lax.map` (rematerialized under AD) so the full
+    [B, H, Sq, Sk] fp32 score tensor never materializes at long sequence
+    lengths; each per-head step is still entirely MXU/VPU work.
+    """
+    B, Sq, Hq, D = q.shape
+    Sk, Hkv = k.shape[1], k.shape[2]
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(D)
+    kr = jnp.repeat(k, Hq // Hkv, axis=2)
+    vr = jnp.repeat(v, Hq // Hkv, axis=2)
+    qs = jnp.moveaxis(q, 2, 0) * scale  # [H, B, S, D]
+
+    @jax.checkpoint
+    def one_head(args):
+        qh, kh, vh = args  # [B, S, D]
+        s = jnp.einsum("btd,bsd->bts", qh, kh)
+        if causal:
+            mask = jnp.tril(jnp.ones((Sq, Sk), bool), k=Sk - Sq)
+            s = jnp.where(mask, s, -jnp.inf)
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(vh.dtype)
+        return jnp.einsum("bts,bsd->btd", p, vh)
+
+    o = jax.lax.map(one_head, (qs, jnp.moveaxis(kr, 2, 0), jnp.moveaxis(vr, 2, 0)))
+    return jnp.moveaxis(o, 0, 2)
+
+
+def jax_flash_attention(
+    q: jax.Array,  # [B, Sq, Hq, D]
+    k: jax.Array,  # [B, Sk, Hkv, D]
+    v: jax.Array,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+) -> jax.Array:
+    """The flash-attention Pallas kernel that ships with JAX.
+
+    `jax.experimental.pallas.ops.tpu.flash_attention` with its default block
+    sizes — the closest TPU analog of the reference's compiled
+    FlexAttention comparison point. GQA is handled by repeating KV heads
+    (that kernel requires matching head counts).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(D)
+    if Hkv != Hq:
+        k = jnp.repeat(k, Hq // Hkv, axis=2)
+        v = jnp.repeat(v, Hq // Hkv, axis=2)
+    to_bhsd = partial(jnp.transpose, axes=(0, 2, 1, 3))
+    o = flash_attention(
+        to_bhsd(q), to_bhsd(k), to_bhsd(v), causal=causal, sm_scale=scale
+    )
+    return jnp.transpose(o, (0, 2, 1, 3))
