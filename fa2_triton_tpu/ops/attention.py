@@ -70,6 +70,7 @@ def _attn_core_fwd(cfg: AttnConfig, q, k, v, bias, lens, scalars):
         dropout_p=cfg.dropout_p,
         block_q=cfg.blocks.block_q,
         block_kv=cfg.blocks.block_kv,
+        unroll_kv=cfg.blocks.unroll_kv,
         seqlen_q_real=cfg.seqlen_q_real,
         seqlen_k_real=cfg.seqlen_k_real,
         static_skip=cfg.static_skip,
@@ -90,9 +91,11 @@ def _attn_core_bwd(cfg: AttnConfig, res, cot):
         dropout_p=cfg.dropout_p,
         block_q=cfg.blocks.block_q_bwd,
         block_kv=cfg.blocks.block_kv_bwd,
+        unroll=cfg.blocks.unroll_bwd,
         seqlen_q_real=cfg.seqlen_q_real,
         seqlen_k_real=cfg.seqlen_k_real,
         static_skip=cfg.static_skip,
+        varlen=cfg.varlen,
     )
     # Like the reference (`src/wrapper.py:86` returns None for bias), the bias
     # is NOT differentiated; a zero cotangent is returned.

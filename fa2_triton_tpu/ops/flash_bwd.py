@@ -48,43 +48,74 @@ def _recompute_p_and_ds(
     q_len, kv_len, shift,   # traced scalars
     block_q, block_kv,
     seed, b, h, num_q_heads, seqlen_q_real, seqlen_k_real,
+    need_edge_mask, need_diag_mask,
 ):
     """Shared tile math for both backward passes.
 
     Returns (p_drop, ds) where p_drop is the dropout-compensated probability
-    tile used for dV, and ds is the pre-scale score gradient used for both
-    dq and dk (already multiplied by d(score)/d(raw qk) including softcap and
-    the softmax scale).
+    tile used for dV, and ds is the score gradient used for both dq and dk
+    (including d(score)/d(raw qk) for softcap and the softmax scale).
+
+    The softmax scale never multiplies a [block_q, block_kv] tile here: the
+    s-recompute folds scale*log2(e) into the caller-prescaled q, and the
+    ds scale rides on the caller-prescaled v (so dp = do @ (v*scale)^T) and
+    the pre-scaled delta. Edge/diagonal masks are compiled in only when the
+    launch can actually need them (`need_*` are trace-time constants), like
+    the reference's EVEN_M/EVEN_N constexpr specialization
+    (`/root/reference/src/forward/kernel.py:54-59`).
     """
-    s_raw = jax.lax.dot_general(
+    s2 = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    t = s_raw * scale
-    if softcap > 0.0:
-        capped = jnp.tanh(t / softcap) * softcap
+    # q is prescaled by scale*log2e, so s2 is already in the base-2 domain.
+    if softcap > 0.0 or bias_blk is not None:
+        t = s2 * (1.0 / LOG2E)  # natural scaled scores
+        if softcap > 0.0:
+            capped = jnp.tanh(t / softcap) * softcap
+        else:
+            capped = t
+        s_nat = capped + bias_blk if bias_blk is not None else capped
+        s2 = s_nat * LOG2E
     else:
-        capped = t
-    s_nat = capped + bias_blk if bias_blk is not None else capped
+        capped = None
 
-    row_g = row_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-    col_g = col_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-    keep = jnp.logical_and(col_g < kv_len, row_g < q_len)
-    right = 0 if causal else window[1]
-    if causal or window[1] >= 0:
-        keep = jnp.logical_and(keep, col_g <= row_g + shift + right)
-    if window[0] >= 0:
-        keep = jnp.logical_and(keep, col_g >= row_g + shift - window[0])
+    keep = None
+    if need_edge_mask or need_diag_mask:
+        row_g = row_lo + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0)
+        col_g = col_lo + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1)
+        if need_edge_mask:
+            keep = jnp.logical_and(col_g < kv_len, row_g < q_len)
+        if need_diag_mask:
+            right = 0 if causal else window[1]
+            if causal or window[1] >= 0:
+                c = col_g <= row_g + shift + right
+                keep = c if keep is None else jnp.logical_and(keep, c)
+            if window[0] >= 0:
+                c = col_g >= row_g + shift - window[0]
+                keep = c if keep is None else jnp.logical_and(keep, c)
 
-    # p = exp2(s2 - lse); masked entries -> 0. lse may be -inf on fully
-    # masked rows, so mask before exponentiating with a finite fill.
-    s2 = jnp.where(keep, s_nat * LOG2E, MASK_LOG2)
-    p = jnp.exp2(s2 - lse_row)
-    p = jnp.where(keep, p, 0.0)
+    if keep is not None:
+        # p = exp2(s2 - lse); masked entries -> 0. lse may be -inf on fully
+        # masked rows, so mask before exponentiating with a finite fill.
+        s2 = jnp.where(keep, s2, MASK_LOG2)
+        p = jnp.exp2(s2 - lse_row)
+        p = jnp.where(keep, p, 0.0)
+    else:
+        p = jnp.exp2(s2 - lse_row)
 
+    # v is prescaled by `scale`, so dp - delta already carries the scale
+    # factor of ds = p * (dp_true - delta_true) * scale.
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if dropout_p > 0.0:
+        if keep is None:
+            row_g = row_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0)
+            col_g = col_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1)
         flat = (
             (b.astype(jnp.uint32) * jnp.uint32(num_q_heads) + h.astype(jnp.uint32))
             * jnp.uint32(seqlen_q_real) + row_g.astype(jnp.uint32)
@@ -97,10 +128,9 @@ def _recompute_p_and_ds(
     else:
         p_drop = p
 
-    dsoft = p * (dp - delta_row)
+    ds = p * (dp - delta_row)
     if softcap > 0.0:
-        dsoft = dsoft * (1.0 - (capped / softcap) ** 2)
-    ds = dsoft * scale
+        ds = ds * (1.0 - (capped / softcap) ** 2)
     return p_drop, ds
 
 
@@ -114,6 +144,7 @@ def _dq_kernel(
     block_q, block_kv, num_kv_blocks,
     seqlen_q_real, seqlen_k_real, num_q_heads,
     last_kv_block_fn,
+    need_edge_mask, need_diag_mask, unroll,
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
     q_len = lens_ref[b, 0]
@@ -133,25 +164,37 @@ def _dq_kernel(
         last_ik = None
         is_last = ik == num_kv_blocks - 1
 
+    sub = block_kv // unroll
+
     def _compute():
         lse_row = lse_ref[0, 0]
         delta_row = delta_ref[0, 0]
-        k = k_ref[0, 0]
-        _, ds = _recompute_p_and_ds(
-            q_ref[0, 0], k, v_ref[0, 0], do_ref[0, 0], lse_row, delta_row,
-            scale=scale, causal=causal, window=window, softcap=softcap,
-            dropout_p=dropout_p,
-            bias_blk=None if bias_ref is None else bias_ref[0, 0].astype(jnp.float32),
-            row_lo=q_off + iq * block_q, col_lo=kv_off + ik * block_kv,
-            q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
-            block_q=block_q, block_kv=block_kv,
-            seed=seed, b=b, h=h, num_q_heads=num_q_heads,
-            seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
-        )
-        acc_scr[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc = acc_scr[...]
+        # Independent per-sub-tile chains (no online-softmax state in the
+        # backward): Mosaic overlaps sub-tile u's dq matmul with u+1's exp2.
+        for u in range(unroll):
+            sl = slice(u * sub, (u + 1) * sub)
+            k = k_ref[0, 0, sl]
+            _, ds = _recompute_p_and_ds(
+                q_ref[0, 0], k, v_ref[0, 0, sl], do_ref[0, 0],
+                lse_row, delta_row,
+                scale=scale, causal=causal, window=window, softcap=softcap,
+                dropout_p=dropout_p,
+                bias_blk=None if bias_ref is None
+                else bias_ref[0, 0, :, sl].astype(jnp.float32),
+                row_lo=q_off + iq * block_q,
+                col_lo=kv_off + ik * block_kv + u * sub,
+                q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+                block_q=block_q, block_kv=sub,
+                seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+                seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+                need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+            )
+            acc = acc + jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_scr[...] = acc
 
     if last_ik is None:
         _compute()
@@ -179,6 +222,7 @@ def _dkdv_kernel(
     block_q, block_kv, num_q_blocks, group,
     seqlen_q_real, seqlen_k_real, num_q_heads,
     first_q_block_fn,
+    need_edge_mask, need_diag_mask, unroll,
 ):
     b, hkv, ikv, e = (pl.program_id(i) for i in range(4))
     iq = e % num_q_blocks
@@ -195,30 +239,43 @@ def _dkdv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
+    sub = block_q // unroll
+
     def _compute():
-        lse_row = lse_ref[0, 0]
-        delta_row = delta_ref[0, 0]
-        q = q_ref[0, 0]
-        do = do_ref[0, 0]
-        p_drop, ds = _recompute_p_and_ds(
-            q, k_ref[0, 0], v_ref[0, 0], do, lse_row, delta_row,
-            scale=scale, causal=causal, window=window, softcap=softcap,
-            dropout_p=dropout_p,
-            bias_blk=None if bias_ref is None else bias_ref[0, 0].astype(jnp.float32),
-            row_lo=q_off + iq * block_q, col_lo=kv_off + ikv * block_kv,
-            q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
-            block_q=block_q, block_kv=block_kv,
-            seed=seed, b=b, h=h, num_q_heads=num_q_heads,
-            seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
-        )
-        dv_scr[...] += jax.lax.dot_general(
-            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dv_acc = dv_scr[...]
+        dk_acc = dk_scr[...]
+        # Sub-tile over q rows: independent chains, MXU/VPU overlap.
+        for u in range(unroll):
+            sl = slice(u * sub, (u + 1) * sub)
+            # NOTE: q_ref here carries TRUE q (dk = ds^T @ q needs it); the
+            # s-recompute's scale*log2e factor rides on the prescaled k.
+            q = q_ref[0, 0, sl]
+            do = do_ref[0, 0, sl]
+            p_drop, ds = _recompute_p_and_ds(
+                q, k_ref[0, 0], v_ref[0, 0], do,
+                lse_ref[0, 0, sl], delta_ref[0, 0, sl],
+                scale=scale, causal=causal, window=window, softcap=softcap,
+                dropout_p=dropout_p,
+                bias_blk=None if bias_ref is None
+                else bias_ref[0, 0, sl].astype(jnp.float32),
+                row_lo=q_off + iq * block_q + u * sub,
+                col_lo=kv_off + ikv * block_kv,
+                q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+                block_q=sub, block_kv=block_kv,
+                seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+                seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+                need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+            )
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dv_scr[...] = dv_acc
+        dk_scr[...] = dk_acc
 
     if first_q_block_fn is None:
         _compute()
@@ -250,9 +307,11 @@ def flash_attn_backward(
     dropout_p: float = 0.0,
     block_q: int = 256,
     block_kv: int = 256,
+    unroll: int = 2,
     seqlen_q_real: Optional[int] = None,
     seqlen_k_real: Optional[int] = None,
     static_skip: bool = False,
+    varlen: bool = False,
     debug_interpret: Optional[bool] = None,
 ):
     """Returns (dq, dk, dv) in input dtypes, deterministic by construction."""
@@ -265,10 +324,35 @@ def flash_attn_backward(
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
 
-    # delta = rowsum(o * do), fp32 (reference `compute_delta.py`); a fused
-    # XLA reduction, no dedicated kernel needed on TPU.
+    # Static masking plan (see _recompute_p_and_ds): edge masks only when a
+    # padded tail or per-batch varlen can make rows/columns invalid.
+    need_edge_mask = varlen or sq_real < Sq or sk_real < Sk
+    need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
+
+    # Sub-tile splits must stay lane-aligned.
+    unroll_kv = max(1, unroll)
+    while block_kv % unroll_kv != 0 or (block_kv // unroll_kv) % 128 != 0:
+        unroll_kv -= 1
+    unroll_q = max(1, unroll)
+    while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
+        unroll_q -= 1
+
+    # Constant folding into the operands (one elementwise pass each, vs a
+    # VPU multiply over every [block_q, block_kv] score tile per step):
+    #  * scale*log2e rides on q for the dq pass (which needs true k for
+    #    dq = ds @ k) and on k for the dk/dv pass (which needs true q for
+    #    dk = ds^T @ q);
+    #  * the ds `* scale` factor rides on v (dp = do @ (v*scale)^T) and on
+    #    delta, in both passes.
+    c = softmax_scale * LOG2E
+    q_p = (q.astype(jnp.float32) * c).astype(q.dtype)
+    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
+    v_s = (v.astype(jnp.float32) * softmax_scale).astype(v.dtype)
+
+    # delta = rowsum(o * do) * scale, fp32 (reference `compute_delta.py`); a
+    # fused XLA reduction, no dedicated kernel needed on TPU.
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True)
+                    keepdims=True) * softmax_scale
 
     last_kv_fn = None
     first_q_fn = None
@@ -286,6 +370,7 @@ def flash_attn_backward(
         scale=softmax_scale, causal=causal, window=window, softcap=softcap,
         dropout_p=dropout_p, block_q=block_q, block_kv=block_kv,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+        need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
     )
 
     # ---------------- dq pass: grid (B, Hq, nq, nkv) ----------------------
@@ -310,7 +395,7 @@ def flash_attn_backward(
         pl.BlockSpec((1, 1, block_q, 1), row_index),
         pl.BlockSpec((1, 1, block_q, 1), row_index),
     ]
-    dq_args = [lens, scalars, q, k, v, do, lse, delta]
+    dq_args = [lens, scalars, q_p, k, v_s, do, lse, delta]
     if bias is not None:
         Bb, Hb = bias.shape[0], bias.shape[1]
 
@@ -327,7 +412,8 @@ def flash_attn_backward(
 
     dq = pl.pallas_call(
         functools.partial(dq_kernel_fn, num_kv_blocks=nkv,
-                          last_kv_block_fn=last_kv_fn, **common),
+                          last_kv_block_fn=last_kv_fn, unroll=unroll_kv,
+                          **common),
         grid=(B, Hq, nq, nkv),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, D), q_index),
@@ -368,7 +454,7 @@ def flash_attn_backward(
         pl.BlockSpec((1, 1, block_q, 1), row_index2),
         pl.BlockSpec((1, 1, block_q, 1), row_index2),
     ]
-    dkdv_args = [lens, scalars, q, k, v, do, lse, delta]
+    dkdv_args = [lens, scalars, q, k_p, v_s, do, lse, delta]
     if bias is not None:
         Bb, Hb = bias.shape[0], bias.shape[1]
 
@@ -387,7 +473,8 @@ def flash_attn_backward(
 
     dk, dv = pl.pallas_call(
         functools.partial(dkdv_kernel_fn, num_q_blocks=nq, group=group,
-                          first_q_block_fn=first_q_fn, **common),
+                          first_q_block_fn=first_q_fn, unroll=unroll_q,
+                          **common),
         grid=(B, Hkv, nkv, group * nq),
         in_specs=dkdv_in_specs,
         out_specs=(

@@ -82,6 +82,8 @@ def _fwd_kernel(
     num_q_heads: int,
     last_kv_block_fn,   # None, or fn(iq) -> last needed kv block (traced)
     varlen: bool,       # per-batch lengths may be shorter than seqlen_*_real
+    prescaled: bool,    # q pre-multiplied by scale*log2e on the host
+    unroll: int,        # KV sub-tiles per block with independent MXU chains
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
     q_len = lens_ref[b, 0]
@@ -119,86 +121,112 @@ def _fwd_kernel(
     need_col_mask = varlen or (seqlen_k_real < seqlen_k_pad)
     need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
 
+    # KV sub-tiling: the block's QK^T is computed as `unroll` independent
+    # sub-matmuls, the running max is taken across all of them, and the
+    # exp2 / PV chains per sub-tile have no cross dependencies — Mosaic's
+    # scheduler overlaps sub-tile u's PV matmul (MXU) with sub-tile u+1's
+    # exp2 (VPU), hiding most of the online-softmax vector work behind the
+    # systolic array (the reference relies on Triton warp scheduling for the
+    # same effect; measured +20% at S=4096, benchmarks/kernel_lab.py).
+    sub = block_kv // unroll
+
     def _compute():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if softcap > 0.0 or bias_ref is not None:
-            s = s * scale
-            if softcap > 0.0:
-                s = jnp.tanh(s / softcap) * softcap
-            if bias_ref is not None:
-                s = s + bias_ref[0, 0].astype(jnp.float32)
-            s2 = s * LOG2E
-        else:
-            s2 = s * (scale * LOG2E)
-
         # The causal/window diagonal is bottom-right aligned on actual
         # lengths: keep iff
         #   row + shift - left <= col <= row + shift + right,
         # with shift = kv_len - q_len (oracle `construct_local_mask`).
         shift = kv_len - q_len
         row_lo = q_off + iq * block_q
-        col_lo = kv_off + ik * block_kv
-
-        if need_col_mask or need_diag_mask:
-            col_g = col_lo + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
+        if need_diag_mask or dropout_p > 0.0:
+            row_g = row_lo + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, sub), 0
             )
-            keep = None
-            if need_col_mask:
-                keep = col_g < kv_len
-            if need_diag_mask:
-                row_g = row_lo + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 0
+
+        s2s = []
+        for u in range(unroll):
+            k = k_ref[0, 0, u * sub:(u + 1) * sub]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col_lo = kv_off + ik * block_kv + u * sub
+            if softcap > 0.0 or bias_ref is not None:
+                if prescaled:  # q carries scale*log2e; undo the log2e part
+                    s = s * (1.0 / LOG2E)
+                else:
+                    s = s * scale
+                if softcap > 0.0:
+                    s = jnp.tanh(s / softcap) * softcap
+                if bias_ref is not None:
+                    s = s + bias_ref[0, 0, :, u * sub:(u + 1) * sub].astype(
+                        jnp.float32)
+                s2 = s * LOG2E
+            elif prescaled:
+                s2 = s
+            else:
+                s2 = s * (scale * LOG2E)
+
+            if need_col_mask or need_diag_mask:
+                col_g = col_lo + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, sub), 1
                 )
-                right = 0 if causal else window[1]
-                if causal or window[1] >= 0:
-                    c = col_g <= row_g + shift + right
-                    keep = c if keep is None else jnp.logical_and(keep, c)
-                if window[0] >= 0:
-                    c = col_g >= row_g + shift - window[0]
-                    keep = c if keep is None else jnp.logical_and(keep, c)
-            s2 = jnp.where(keep, s2, MASK_LOG2)
+                keep = None
+                if need_col_mask:
+                    keep = col_g < kv_len
+                if need_diag_mask:
+                    right = 0 if causal else window[1]
+                    if causal or window[1] >= 0:
+                        c = col_g <= row_g + shift + right
+                        keep = c if keep is None else jnp.logical_and(keep, c)
+                    if window[0] >= 0:
+                        c = col_g >= row_g + shift - window[0]
+                        keep = c if keep is None else jnp.logical_and(keep, c)
+                s2 = jnp.where(keep, s2, MASK_LOG2)
+            s2s.append(s2)
 
         # ---- online softmax (base-2) --------------------------------------
         m_prev = m_scr[...]
-        m_cur = jnp.max(s2, axis=-1, keepdims=True)
+        m_cur = functools.reduce(
+            jnp.maximum,
+            [jnp.max(s2, axis=-1, keepdims=True) for s2 in s2s],
+        )
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
-        p = jnp.exp2(s2 - m_new[:, :1])
-
-        # The softmax denominator uses the UNDROPPED sum (dropout only zeroes
-        # the PV numerator; oracle applies the mask after normalization).
         m_scr[...] = m_new
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc_scr[...] * alpha
+        l_add = None
 
-        if dropout_p > 0.0:
-            # Counter over REAL (unpadded) extents so the oracle-side mask
-            # grid matches; padded rows/cols are masked out elsewhere.
-            row_g = row_lo + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
-            )
-            col_g = col_lo + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
-            )
-            flat = (
-                (b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
-                 + h.astype(jnp.uint32)) * jnp.uint32(seqlen_q_real)
-                + row_g.astype(jnp.uint32)
-            ) * jnp.uint32(seqlen_k_real) + col_g.astype(jnp.uint32)
-            bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
-            keep = bits >= jnp.uint32(dropout_threshold(dropout_p))
-            p = jnp.where(keep, p, 0.0)
+        for u in range(unroll):
+            p = jnp.exp2(s2s[u] - m_new[:, :1])
+            # The softmax denominator uses the UNDROPPED sum (dropout only
+            # zeroes the PV numerator; the oracle applies the mask after
+            # normalization).
+            psum = jnp.sum(p, axis=-1, keepdims=True)
+            l_add = psum if l_add is None else l_add + psum
 
-        v = v_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+            if dropout_p > 0.0:
+                # Counter over REAL (unpadded) extents so the oracle-side
+                # mask grid matches; padded rows/cols are masked elsewhere.
+                col_g = (kv_off + ik * block_kv + u * sub
+                         + jax.lax.broadcasted_iota(jnp.int32, (block_q, sub), 1))
+                flat = (
+                    (b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
+                     + h.astype(jnp.uint32)) * jnp.uint32(seqlen_q_real)
+                    + row_g.astype(jnp.uint32)
+                ) * jnp.uint32(seqlen_k_real) + col_g.astype(jnp.uint32)
+                bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+                keep = bits >= jnp.uint32(dropout_threshold(dropout_p))
+                p = jnp.where(keep, p, 0.0)
+
+            v = v_ref[0, 0, u * sub:(u + 1) * sub]
+            acc = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        l_scr[...] = l_scr[...] * alpha + l_add
+        acc_scr[...] = acc
 
     if last_ik is None:
         _compute()
@@ -254,6 +282,7 @@ def flash_attn_forward(
     dropout_p: float = 0.0,
     block_q: int = 512,
     block_kv: int = 512,
+    unroll_kv: int = 4,
     seqlen_q_real: Optional[int] = None,
     seqlen_k_real: Optional[int] = None,
     static_skip: bool = False,
@@ -271,6 +300,18 @@ def flash_attn_forward(
     nq, nkv = Sq // block_q, Sk // block_kv
     sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+
+    # Largest sub-tile split <= unroll_kv with lane-aligned sub-tiles.
+    unroll = max(1, unroll_kv)
+    while block_kv % unroll != 0 or (block_kv // unroll) % 128 != 0:
+        unroll -= 1
+
+    # Fold scale*log2(e) into q on the host (one cheap elementwise pass over
+    # [B,H,S,D]) instead of multiplying every [block_q, block_kv] score tile
+    # on the VPU — the reference folds the same constant into its
+    # softmax_scale at `src/forward/kernel.py:119`; here it moves out of the
+    # kernel entirely (~8% forward speedup, benchmarks/kernel_lab.py).
+    q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
 
     # Static causal skipping is sound when the causal shift is known at trace
     # time: without a padding mask it's sk_real - sq_real; with a (shared
@@ -326,6 +367,8 @@ def flash_attn_forward(
         num_q_heads=Hq,
         last_kv_block_fn=last_kv_fn,
         varlen=varlen,
+        prescaled=True,
+        unroll=unroll,
     )
 
     out_shapes = (

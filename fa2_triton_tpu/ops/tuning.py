@@ -21,10 +21,32 @@ class BlockSizes:
     # Backward passes use their own tiling.
     block_q_bwd: int
     block_kv_bwd: int
+    # KV sub-tiles per forward block with independent MXU/VPU chains (the
+    # kernel clamps to a lane-aligned divisor of block_kv).
+    unroll_kv: int = 4
+    # Sub-tiles per backward block (dq: KV split, dk/dv: Q split).
+    unroll_bwd: int = 2
 
     def __post_init__(self):
         for v in (self.block_q, self.block_kv, self.block_q_bwd, self.block_kv_bwd):
             assert v % 128 == 0, "blocks must be lane-aligned (multiples of 128)"
+
+
+def _waste_aware(seqlen: int, candidates, max_waste_frac: float = 0.125) -> int:
+    """Largest candidate block whose pad-to-multiple waste stays small.
+
+    Inputs are padded to a multiple of the block (`ops/attention.py`), and
+    fully-padded blocks still burn MXU cycles, so a 4096 block on a 4100-long
+    sequence would double the work. Candidates are powers of two, descending,
+    which also keeps fwd/bwd blocks mutually divisible.
+    """
+    sp = round_up_to_multiple(max(seqlen, 1), 128)
+    for cand in candidates:
+        c = min(cand, sp)
+        padded = round_up_to_multiple(sp, c)
+        if padded - seqlen <= max(seqlen, 1) * max_waste_frac:
+            return c
+    return min(candidates[-1], sp)
 
 
 def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
@@ -32,38 +54,52 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
                        has_bias: bool = False) -> BlockSizes:
     """Pick block sizes that fit comfortably in ~16MB VMEM with pipelining.
 
-    Values from the v5e sweep at S=4096 D=128 (see bench.py --tune):
-    non-causal peaks at (1024, 1024) ~132 TFLOP/s, causal at (512, 2048)
-    ~84 effective; bias tiles (block_q x block_kv f32, double-buffered) force
-    smaller blocks.
+    Values from the v5e production-path sweeps at S=4096 D=128
+    (benchmarks/tune_fwd.py, benchmarks/tune_bwd.py): forward non-causal
+    peaks at (512, 4096) ~153 TFLOP/s (86% of the chip's practical matmul
+    peak, benchmarks/kernel_lab.py --peak), causal at (1024, 2048, unroll 4)
+    ~85 effective TFLOP/s; bias tiles (block_q x block_kv f32,
+    double-buffered) force smaller blocks.
     """
     # Budget shrinks as the (padded) head dim grows: acc/q/k/v tiles scale
     # linearly in head_dim, the s/p tile scales with block_q*block_kv.
+    unroll_kv = 4
     if head_dim_padded <= 128:
         if has_bias:
-            bq, bkv = 512, 1024
+            bq, bkv = 512, _waste_aware(seqlen_k, (1024, 512, 256, 128))
         elif causal:
-            bq, bkv = 512, 2048
+            bq = _waste_aware(seqlen_q, (1024, 512, 256, 128))
+            bkv = _waste_aware(seqlen_k, (2048, 1024, 512, 256, 128))
         else:
-            bq, bkv = 1024, 1024
+            bkv = _waste_aware(seqlen_k, (4096, 2048, 1024, 512, 256, 128))
+            # Keep the f32 score tile around 2M elements: (512, 4096),
+            # (1024, 2048), (1024, 1024), ...
+            bq = _waste_aware(
+                seqlen_q, (max(128, min(1024, (512 * 4096) // bkv)),
+                           512, 256, 128))
+            if bkv <= 512:
+                unroll_kv = 1
     elif head_dim_padded <= 256:
         bq, bkv = 256, 512
     else:
         bq, bkv = 128, 256
     bq = min(bq, round_up_to_multiple(max(seqlen_q, 1), 128))
     bkv = min(bkv, round_up_to_multiple(max(seqlen_k, 1), 128))
-    # Backward (v5e sweep): non-causal peaks at (512, 1024) ~81% MXU, causal
-    # at (1024, 512). Backward blocks and forward blocks must mutually divide
-    # max(fwd, bwd) so one padding serves both passes (all powers of two).
+    # Backward (v5e sweep, benchmarks/tune_bwd.py): (512, 2048, unroll 2)
+    # non-causal ~127 fwd+bwd TFLOP/s, (1024, 1024, unroll 1) causal ~82.
+    # Backward and forward blocks must mutually divide max(fwd, bwd) so one
+    # padding serves both passes (all powers of two).
     if head_dim_padded <= 128:
-        bq_b, bkv_b = (1024, 512) if causal else (512, 1024)
+        bq_b, bkv_b = (1024, 1024) if causal else (512, 2048)
         bq_b = min(bq_b, round_up_to_multiple(max(seqlen_q, 1), 128))
         bkv_b = min(bkv_b, round_up_to_multiple(max(seqlen_k, 1), 128))
         bq_b, bkv_b = _compatible(bq, bq_b), _compatible(bkv, bkv_b)
     else:
         bq_b = _divisor_block(bq, 256)
         bkv_b = _divisor_block(bkv, 256)
-    return BlockSizes(block_q=bq, block_kv=bkv, block_q_bwd=bq_b, block_kv_bwd=bkv_b)
+    return BlockSizes(block_q=bq, block_kv=bkv, block_q_bwd=bq_b,
+                      block_kv_bwd=bkv_b, unroll_kv=unroll_kv,
+                      unroll_bwd=1 if causal else 2)
 
 
 def _compatible(b_fwd: int, b_bwd: int) -> int:
