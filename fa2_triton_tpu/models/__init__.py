@@ -1,3 +1,4 @@
+from fa2_triton_tpu.models import gpt2
 from fa2_triton_tpu.models.llama import (
     LlamaConfig,
     init_params,
@@ -6,8 +7,9 @@ from fa2_triton_tpu.models.llama import (
     init_kv_cache,
     forward_with_cache,
 )
+from fa2_triton_tpu.models.gpt2 import GPT2Config
 
 __all__ = [
     "LlamaConfig", "init_params", "forward", "loss_fn",
-    "init_kv_cache", "forward_with_cache",
+    "init_kv_cache", "forward_with_cache", "GPT2Config", "gpt2",
 ]

@@ -36,6 +36,11 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     max_seq_len: int = 4096
     dtype: Any = jnp.bfloat16
+    # Mistral-style sliding-window attention: each token attends to at most
+    # `window` previous tokens ((-1, 0) = full causal). Uses the kernels'
+    # native window support (`ops/flash_fwd.py`), a feature the reference
+    # only has in its oracle (`reference_implementation.py:8-35`).
+    sliding_window: int = -1
 
     @property
     def hd(self) -> int:
@@ -132,14 +137,28 @@ def default_attention(q, k, v, _kv_len):
     return flash_attn_func(q, k, v, causal=True)
 
 
+def make_attention_fn(cfg: LlamaConfig) -> Callable:
+    """Config-driven training attention (full causal or sliding window)."""
+    if cfg.sliding_window < 0:
+        return default_attention
+    window = (cfg.sliding_window, 0)
+
+    def attn(q, k, v, _kv_len):
+        return flash_attn_func(q, k, v, causal=True, window_size=window)
+
+    return attn
+
+
 def forward(
     params: Params,
     tokens: jax.Array,            # [B, S] int32
     cfg: LlamaConfig,
-    attention_fn: Callable = default_attention,
+    attention_fn: Optional[Callable] = None,
     positions: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Training/prefill forward pass -> logits [B, S, vocab] (fp32)."""
+    if attention_fn is None:
+        attention_fn = make_attention_fn(cfg)
     B, S = tokens.shape
     x = params["embed"][tokens]
     if positions is None:
@@ -153,7 +172,7 @@ def forward(
 
 
 def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig,
-            attention_fn: Callable = default_attention) -> jax.Array:
+            attention_fn: Optional[Callable] = None) -> jax.Array:
     """Next-token cross-entropy, mean over positions."""
     logits = forward(params, tokens[:, :-1], cfg, attention_fn)
     targets = tokens[:, 1:]
