@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fa2_triton_tpu.utils import (
     LOG2E,
+    dot_precision,
     default_softmax_scale,
     interpret_mode,
     pad_to_multiple,
@@ -70,7 +71,8 @@ def _decode_kernel(
         if quantized:
             k = k.astype(q.dtype)
         s2 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k),
         )
         if quantized:
             # Column scales commute with the contraction: qk[i,j] * s_k[j].
@@ -94,6 +96,7 @@ def _decode_kernel(
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
             p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_precision(v),
         )
 
     @pl.when(ik == last)

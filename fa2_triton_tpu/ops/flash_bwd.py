@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fa2_triton_tpu.utils import LOG2E, interpret_mode
+from fa2_triton_tpu.utils import LOG2E, dot_precision, interpret_mode
 from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
 
 MASK_LOG2 = -1e30
@@ -57,15 +57,21 @@ def _recompute_p_and_ds(
     (including d(score)/d(raw qk) for softcap and the softmax scale).
 
     The softmax scale never multiplies a [block_q, block_kv] tile here: the
-    s-recompute folds scale*log2(e) into the caller-prescaled q, and the
-    ds scale rides on the caller-prescaled v (so dp = do @ (v*scale)^T) and
-    the pre-scaled delta. Edge/diagonal masks are compiled in only when the
-    launch can actually need them (`need_*` are trace-time constants), like
-    the reference's EVEN_M/EVEN_N constexpr specialization
+    s-recompute folds scale*log2(e) into the caller-prescaled q (dq pass) or
+    k (dk/dv pass), and the ds `* scale` factor moves to the dq/dk OUTPUT
+    finalizers (scale is constant across the accumulation, so
+    sum(p*(dp-d)*scale @ x) == scale * sum(...)). Folding scale into v or
+    delta instead would break the exact `dp - delta` cancellation on
+    degenerate rows (single valid key => p == 1 => dq must be exactly 0,
+    which the FA tolerance model demands, tests/test_regression_pins.py).
+    Edge/diagonal masks are compiled in only when the launch can actually
+    need them (`need_*` are trace-time constants), like the reference's
+    EVEN_M/EVEN_N constexpr specialization
     (`/root/reference/src/forward/kernel.py:54-59`).
     """
     s2 = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(q, k),
     )
     # q is prescaled by scale*log2e, so s2 is already in the base-2 domain.
     if softcap > 0.0 or bias_blk is not None:
@@ -105,10 +111,11 @@ def _recompute_p_and_ds(
     else:
         p = jnp.exp2(s2 - lse_row)
 
-    # v is prescaled by `scale`, so dp - delta already carries the scale
-    # factor of ds = p * (dp_true - delta_true) * scale.
+    # True (unscaled) v and do: dp - delta cancels exactly where it must.
+    # The `* scale` of ds is applied by the caller's output finalizer.
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=dot_precision(do, v),
     )
     if dropout_p > 0.0:
         if keep is None:
@@ -193,6 +200,7 @@ def _dq_kernel(
             acc = acc + jax.lax.dot_general(
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(k),
             )
         acc_scr[...] = acc
 
@@ -203,7 +211,8 @@ def _dq_kernel(
 
     @pl.when(is_last)
     def _finalize():
-        dq_ref[0, 0] = acc_scr[...].astype(dq_ref.dtype)
+        # ds carried no scale factor; apply it once per output tile.
+        dq_ref[0, 0] = (acc_scr[...] * scale).astype(dq_ref.dtype)
 
 
 def _dq_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
@@ -269,10 +278,12 @@ def _dkdv_kernel(
             dv_acc = dv_acc + jax.lax.dot_general(
                 p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(do),
             )
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(q),
             )
         dv_scr[...] = dv_acc
         dk_scr[...] = dk_acc
@@ -284,7 +295,9 @@ def _dkdv_kernel(
 
     @pl.when(e == group * num_q_blocks - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        # ds carried no scale factor; apply it once per output tile (dv uses
+        # p, not ds, so it is already correct).
+        dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -337,22 +350,22 @@ def flash_attn_backward(
     while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
         unroll_q -= 1
 
-    # Constant folding into the operands (one elementwise pass each, vs a
-    # VPU multiply over every [block_q, block_kv] score tile per step):
+    # Constant folding (one elementwise pass on an operand / output tile, vs
+    # a VPU multiply over every [block_q, block_kv] score tile per step):
     #  * scale*log2e rides on q for the dq pass (which needs true k for
     #    dq = ds @ k) and on k for the dk/dv pass (which needs true q for
     #    dk = ds^T @ q);
-    #  * the ds `* scale` factor rides on v (dp = do @ (v*scale)^T) and on
-    #    delta, in both passes.
+    #  * the ds `* scale` factor moves to the dq/dk output finalizers
+    #    inside the kernels. v, do, and delta stay UNSCALED so the
+    #    `dp - delta` cancellation is exact (see _recompute_p_and_ds).
     c = softmax_scale * LOG2E
     q_p = (q.astype(jnp.float32) * c).astype(q.dtype)
     k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
-    v_s = (v.astype(jnp.float32) * softmax_scale).astype(v.dtype)
 
-    # delta = rowsum(o * do) * scale, fp32 (reference `compute_delta.py`); a
-    # fused XLA reduction, no dedicated kernel needed on TPU.
+    # delta = rowsum(o * do), fp32 (reference `compute_delta.py`); a fused
+    # XLA reduction, no dedicated kernel needed on TPU.
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True) * softmax_scale
+                    keepdims=True)
 
     last_kv_fn = None
     first_q_fn = None
@@ -395,7 +408,7 @@ def flash_attn_backward(
         pl.BlockSpec((1, 1, block_q, 1), row_index),
         pl.BlockSpec((1, 1, block_q, 1), row_index),
     ]
-    dq_args = [lens, scalars, q_p, k, v_s, do, lse, delta]
+    dq_args = [lens, scalars, q_p, k, v, do, lse, delta]
     if bias is not None:
         Bb, Hb = bias.shape[0], bias.shape[1]
 
@@ -454,7 +467,7 @@ def flash_attn_backward(
         pl.BlockSpec((1, 1, block_q, 1), row_index2),
         pl.BlockSpec((1, 1, block_q, 1), row_index2),
     ]
-    dkdv_args = [lens, scalars, q, k_p, v_s, do, lse, delta]
+    dkdv_args = [lens, scalars, q, k_p, v, do, lse, delta]
     if bias is not None:
         Bb, Hb = bias.shape[0], bias.shape[1]
 

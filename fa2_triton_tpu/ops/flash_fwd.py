@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fa2_triton_tpu.utils import LOG2E, interpret_mode
+from fa2_triton_tpu.utils import LOG2E, dot_precision, interpret_mode
 from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
 
 # Finite mask constant in the log2 domain; exp2(x - m) underflows to 0 for any
@@ -149,6 +149,7 @@ def _fwd_kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(q, k),
             )
             col_lo = kv_off + ik * block_kv + u * sub
             if softcap > 0.0 or bias_ref is not None:
@@ -223,6 +224,7 @@ def _fwd_kernel(
             acc = acc + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(v),
             )
 
         l_scr[...] = l_scr[...] * alpha + l_add

@@ -101,10 +101,15 @@ def flash_attn_reference(
     v = jnp.repeat(v, repeats, axis=2)
     d = q.shape[-1]
     scale = softmax_scale if softmax_scale is not None else 1.0 / math.sqrt(d)
+    # On TPU, fp32 einsums default to fast (bf16-pass) MXU matmuls; the
+    # upcast oracle must be TRUE fp32 to serve as ground truth, while the
+    # low-precision yardstick variant keeps the backend default (mirroring
+    # the reference's "PyTorch low-precision" comparison point).
+    prec = jax.lax.Precision.HIGHEST if upcast else jax.lax.Precision.DEFAULT
     if not reorder_ops:
-        scores = jnp.einsum("bthd,bshd->bhts", q * scale, k)
+        scores = jnp.einsum("bthd,bshd->bhts", q * scale, k, precision=prec)
     else:
-        scores = jnp.einsum("bthd,bshd->bhts", q, k * scale)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k * scale, precision=prec)
     if softcap > 0:
         scores = jnp.tanh(scores / softcap) * softcap
     if key_padding_mask is not None:
@@ -142,7 +147,8 @@ def flash_attn_reference(
         attention_drop = jnp.where(dropout_mask, attention, 0.0)
     else:
         attention_drop = attention
-    output = jnp.einsum("bhts,bshd->bthd", attention_drop, v * dropout_scaling)
+    output = jnp.einsum("bhts,bshd->bthd", attention_drop, v * dropout_scaling,
+                        precision=prec)
     if query_padding_mask is not None:
         qmask_o = (~query_padding_mask.astype(bool)).reshape(q.shape[0], seqlen_q, 1, 1)
         output = jnp.where(qmask_o, 0.0, output)

@@ -6,6 +6,7 @@ from fa2_triton_tpu.utils.common import (
     default_softmax_scale,
     on_tpu,
     interpret_mode,
+    dot_precision,
     LOG2E,
     NEG_INF,
     MASK_VALUE,
@@ -24,6 +25,7 @@ __all__ = [
     "default_softmax_scale",
     "on_tpu",
     "interpret_mode",
+    "dot_precision",
     "LOG2E",
     "NEG_INF",
     "MASK_VALUE",

@@ -61,3 +61,13 @@ def on_tpu() -> bool:
 def interpret_mode() -> bool:
     """Pallas kernels run in interpreter mode off-TPU (CPU tests)."""
     return not on_tpu()
+
+
+def dot_precision(*operands):
+    """Matmul precision for kernel dots: fp32 operands must multiply at TRUE
+    fp32 (TPU would otherwise use fast bf16-pass decomposition, ~1e-3 relative
+    error — the fp32 path exists to validate against the fp32 oracle);
+    bf16/fp16 operands keep the backend default (native MXU rate)."""
+    if any(o.dtype == jnp.float32 for o in operands):
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT

@@ -42,6 +42,12 @@ def test_oracle_lse_analytic():
     k = jnp.asarray(rng.normal(0, 0.5, (B, S, H, D)), jnp.float32)
     v = jnp.asarray(rng.normal(0, 0.5, (B, S, H, D)), jnp.float32)
     _, lse = flash_attn_reference(q, k, v, return_lse=True)
-    scores = jnp.einsum("bthd,bshd->bhts", q / math.sqrt(D), k)
-    lse_direct = jnp.log(jnp.sum(jnp.exp(scores), axis=-1)) * 1.4426950408889634
+    # precision: TPU fp32 einsums default to fast bf16-pass matmuls; the
+    # max-subtraction matches the oracle's algorithm so the comparison only
+    # measures the identity, not exp() argument-range sensitivity.
+    scores = jnp.einsum("bthd,bshd->bhts", q / math.sqrt(D), k,
+                        precision="highest")
+    m = jnp.max(scores, axis=-1)
+    lse_direct = (m + jnp.log(jnp.sum(jnp.exp(scores - m[..., None]), axis=-1))
+                  ) * 1.4426950408889634
     assert float(jnp.max(jnp.abs(lse - lse_direct))) < 1e-4

@@ -11,6 +11,11 @@ from fa2_triton_tpu.parallel import (
 )
 from tests.utils import generate_test_data
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4,
+    reason="needs >= 4 devices (run on the virtual CPU mesh, tests/conftest.py)",
+)
+
 
 def _err(a, b):
     return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
