@@ -98,6 +98,9 @@ def bench_decode(B=32, Hq=32, Hkv=8, D=128, S_max=8192, fill=8192):
         lambda q, k, v: decode_attention(q, k, v, lens), q, k, v, iters=20)
     kq, ksc = quantize_tensor(k, jnp.int8)
     vq, vsc = quantize_tensor(v, jnp.int8)
+    # decode_attention takes scales transposed: [B, H, S, 1] -> [B, H, 1, S].
+    ksc = jnp.swapaxes(ksc, 2, 3)
+    vsc = jnp.swapaxes(vsc, 2, 3)
     t_int8 = device_time(
         lambda q, kq, vq: decode_attention(q, kq, vq, lens, ksc, vsc),
         q, kq, vq, iters=20)

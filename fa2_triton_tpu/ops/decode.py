@@ -121,7 +121,7 @@ def decode_attention(
     v_scale: Optional[jax.Array] = None,
     *,
     softmax_scale: Optional[float] = None,
-    block_kv: int = 1024,
+    block_kv: int = 4096,
     debug_interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Returns attention output [B, Hq, D]. Cache layout is BHSD with S_max

@@ -27,7 +27,7 @@ class KVCacheConfig:
     n_slots: int
     qdtype: Optional[Any] = None  # None (bf16), jnp.int8, or jnp.float8_e4m3fn
     compute_dtype: Any = jnp.bfloat16
-    block_kv: int = 1024
+    block_kv: int = 4096
 
     @property
     def head_dim_padded(self) -> int:

@@ -65,7 +65,7 @@ class Engine:
             n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads, head_dim=cfg.hd,
             max_seq=max_seq, n_slots=n_slots, qdtype=qdtype,
             compute_dtype=cfg.dtype,
-            block_kv=min(1024, max_seq),
+            block_kv=min(4096, max_seq),
         )
         self.caches = init_cache(self.kv_cfg)
         self.lens = jnp.zeros((n_slots,), jnp.int32)
