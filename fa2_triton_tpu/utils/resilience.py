@@ -1,0 +1,133 @@
+"""Failure detection and crash-resumable training (SURVEY.md §5.3/§5.4).
+
+The reference has no failure-handling story at all; a production TPU
+training loop needs three things, provided here in idiomatic-JAX form:
+
+* **step-level failure detection** — non-finite loss/grad detection ON
+  DEVICE (one fused all-finite reduction, no host sync per tensor) with
+  skip-and-continue semantics: a bad step contributes no update, mirroring
+  standard large-scale recipes for transient numeric blowups;
+* **device health check** — a cheap collective probe that verifies every
+  mesh device still answers (catches wedged chips before a 30-min compile
+  does);
+* **auto-resume** — a `ResilientTrainer` wrapper that periodically
+  checkpoints (orbax, `utils/checkpoint.py`) and restores the latest valid
+  state on restart, so preemption costs at most `save_every` steps.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fa2_triton_tpu.utils.checkpoint import CheckpointManager
+
+
+def tree_allfinite(tree: Any) -> jax.Array:
+    """Scalar bool: every leaf of the pytree is finite (device-side)."""
+    leaves = [
+        jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(tree)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    ]
+    if not leaves:
+        return jnp.bool_(True)
+    return jnp.all(jnp.stack(leaves))
+
+
+def guarded_update(params: Any, new_params: Any, ok: jax.Array) -> Any:
+    """Select new_params where the step was healthy, else keep params.
+
+    Both sides already exist on device; this is a cheap select, not a
+    recompute — the standard skip-step recipe for transient NaN/inf.
+    """
+    return jax.tree_util.tree_map(
+        lambda old, new: jnp.where(ok, new, old), params, new_params
+    )
+
+
+def make_guarded_step(step_fn: Callable) -> Callable:
+    """Wrap `step_fn(state, batch) -> (new_state, loss)` so that non-finite
+    losses or states roll the update back. Returns
+    `(state, loss, ok)`; jit the result."""
+
+    def guarded(state, batch):
+        new_state, loss = step_fn(state, batch)
+        ok = jnp.logical_and(
+            jnp.isfinite(loss), tree_allfinite(new_state)
+        )
+        return guarded_update(state, new_state, ok), loss, ok
+
+    return guarded
+
+
+def devices_healthy(devices=None, timeout_s: float = 30.0) -> bool:
+    """Probe that every device executes and returns a trivial program.
+
+    A wedged/detached chip surfaces here as an exception or hang (bounded
+    by the caller's scheduling) instead of poisoning a long training step.
+    """
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    try:
+        for d in devices:
+            x = jax.device_put(jnp.ones((8, 128), jnp.float32), d)
+            if float(jnp.sum(x)) != 8 * 128:
+                return False
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class TrainerReport:
+    steps_run: int = 0
+    steps_skipped: int = 0
+    resumed_from: Optional[int] = None
+    last_loss: float = float("nan")
+
+
+class ResilientTrainer:
+    """Checkpointed, failure-tolerant training driver.
+
+    step_fn(state, batch) -> (new_state, loss) — pure, jittable.
+    The trainer jits a guarded version (non-finite steps are skipped),
+    saves every `save_every` steps, and `.restore_or_init` resumes from the
+    newest checkpoint if one exists.
+    """
+
+    def __init__(self, step_fn: Callable, ckpt_dir: str,
+                 save_every: int = 100, max_to_keep: int = 3):
+        self._step = jax.jit(make_guarded_step(step_fn))
+        self._ckpt = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
+        self._save_every = save_every
+        self.report = TrainerReport()
+
+    def restore_or_init(self, init_state: Any) -> Tuple[Any, int]:
+        """Resume from the latest checkpoint, else return init_state."""
+        latest = self._ckpt.latest_step()
+        if latest is None:
+            return init_state, 0
+        state = self._ckpt.restore(init_state, step=latest)
+        self.report.resumed_from = latest
+        return state, latest
+
+    def run(self, state: Any, batches, start_step: int = 0) -> Any:
+        step = start_step
+        for batch in batches:
+            state, loss, ok = self._step(state, batch)
+            step += 1
+            self.report.steps_run += 1
+            if not bool(ok):
+                self.report.steps_skipped += 1
+            self.report.last_loss = float(loss)
+            if step % self._save_every == 0:
+                self._ckpt.save(step, state)
+        self._ckpt.save(step, state)
+        return state
+
+    def close(self):
+        self._ckpt.close()

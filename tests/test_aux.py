@@ -87,3 +87,43 @@ def test_export_kernels_tool():
                     "import vendored_fa2; print('ok')" % d],
                    capture_output=True, text=True)
         assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-500:]
+
+
+def test_resilient_trainer_skips_nonfinite_and_resumes():
+    import jax as _jax
+    import jax.numpy as _jnp
+    from fa2_triton_tpu.utils.resilience import (
+        ResilientTrainer, devices_healthy, make_guarded_step, tree_allfinite,
+    )
+
+    assert devices_healthy()
+    assert bool(tree_allfinite({"a": _jnp.ones(3), "n": _jnp.arange(3)}))
+    assert not bool(tree_allfinite({"a": _jnp.array([1.0, _jnp.nan])}))
+
+    # step: params -= 0.1 * batch; a batch of NaN must be skipped wholesale.
+    def step(state, batch):
+        new = _jax.tree.map(lambda p: p - 0.1 * batch, state)
+        return new, _jnp.sum(batch)
+
+    guarded = _jax.jit(make_guarded_step(step))
+    state = {"w": _jnp.ones((4,))}
+    state, loss, ok = guarded(state, _jnp.float32(1.0))
+    assert bool(ok) and float(state["w"][0]) == pytest.approx(0.9)
+    state, loss, ok = guarded(state, _jnp.float32(float("nan")))
+    assert not bool(ok)
+    assert float(state["w"][0]) == pytest.approx(0.9)  # rolled back
+
+    with tempfile.TemporaryDirectory() as d:
+        tr = ResilientTrainer(step, d, save_every=2)
+        s0 = {"w": jnp.ones((4,))}
+        s, start = tr.restore_or_init(s0)
+        assert start == 0
+        s = tr.run(s, [jnp.float32(1.0)] * 4, start_step=start)
+        assert tr.report.steps_run == 4
+        tr.close()
+        # Simulated crash: a fresh trainer resumes from the saved step.
+        tr2 = ResilientTrainer(step, d, save_every=2)
+        s2, start2 = tr2.restore_or_init(s0)
+        assert start2 == 4 and tr2.report.resumed_from == 4
+        assert float(jnp.max(jnp.abs(s2["w"] - s["w"]))) == 0.0
+        tr2.close()
