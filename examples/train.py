@@ -1,0 +1,115 @@
+"""End-to-end distributed training example.
+
+Everything in one script: a LLaMA-style model on the Pallas flash-attention
+kernels, a (data x model) device mesh with TP-sharded parameters, an
+optax/adamw train step jitted under sharding constraints, failure-tolerant
+stepping (non-finite steps roll back), periodic checkpoints with
+restore-on-restart, and a roofline report per step.
+
+Run on a TPU pod slice as-is, or simulate a mesh on CPU:
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python examples/train.py --platform cpu --dp 4 --tp 2 --steps 8
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--ckpt-dir", default="/tmp/fa2_train_ckpt")
+    ap.add_argument("--save-every", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fa2_triton_tpu.models import LlamaConfig, init_params, loss_fn
+    from fa2_triton_tpu.parallel import AXIS_DATA, make_mesh, shard_params
+    from fa2_triton_tpu.utils.profiling import roofline
+    from fa2_triton_tpu.utils.resilience import ResilientTrainer, devices_healthy
+
+    assert devices_healthy(), "device probe failed"
+    mesh = make_mesh(data=args.dp, model=args.tp)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = LlamaConfig(
+        vocab_size=32000, dim=args.dim, n_layers=args.layers,
+        n_heads=8, n_kv_heads=2, hidden_dim=int(args.dim * 2.75) // 128 * 128,
+        max_seq_len=args.seq, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    params = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh)
+    opt = optax.adamw(3e-4, weight_decay=0.01)
+    state = {"params": params, "opt": opt.init(params), "step": jnp.int32(0)}
+
+    # Give every leaf an explicit mesh sharding (scalars like the adam step
+    # counter replicate): uniform shardings keep jit happy and survive the
+    # checkpoint restore round-trip.
+    def with_mesh_sharding(x):
+        x = jnp.asarray(x)
+        if isinstance(getattr(x, "sharding", None), NamedSharding):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    state = jax.tree.map(with_mesh_sharding, state)
+
+    batch_sharding = NamedSharding(mesh, P(AXIS_DATA, None))
+
+    def step_fn(state, tokens):
+        def loss(p):
+            return loss_fn(p, tokens, cfg)
+
+        lval, grads = jax.value_and_grad(loss)(state["params"])
+        updates, opt_state = opt.update(grads, state["opt"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return {"params": new_params, "opt": opt_state,
+                "step": state["step"] + 1}, lval
+
+    trainer = ResilientTrainer(step_fn, args.ckpt_dir,
+                               save_every=args.save_every)
+    state, start = trainer.restore_or_init(state)
+    if start:
+        print(f"resumed from checkpoint step {start}")
+
+    rng = np.random.RandomState(start)
+    tokens_per_step = args.batch * (args.seq - 1)
+    # ~6 * params * tokens FLOPs for a decoder fwd+bwd.
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    flops_per_step = 6 * n_params * tokens_per_step
+
+    def batches():
+        for _ in range(args.steps):
+            b = rng.randint(0, cfg.vocab_size, size=(args.batch, args.seq))
+            yield jax.device_put(jnp.asarray(b, jnp.int32), batch_sharding)
+
+    t0 = time.perf_counter()
+    state = trainer.run(state, batches(), start_step=start)
+    dt = time.perf_counter() - t0
+    r = roofline(time_s=dt / max(args.steps, 1), flops=flops_per_step,
+                 bytes_moved=2 * n_params * 2)
+    print(f"{args.steps} steps in {dt:.2f}s — loss {trainer.report.last_loss:.4f}, "
+          f"skipped {trainer.report.steps_skipped}; per-step {r.summary()}")
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()

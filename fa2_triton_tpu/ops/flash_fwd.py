@@ -92,11 +92,17 @@ def _fwd_kernel(
     kv_off = scal_ref[0, 1]
     seed = scal_ref[0, 2]
 
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    # Single-KV-block launches (the whole key strip fits one block) carry no
+    # cross-step state: skip the scratch init/rescale/finalize machinery and
+    # write the output from locals.
+    single = num_kv_blocks == 1 and last_kv_block_fn is None
+
+    if not single:
+        @pl.when(ik == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if last_kv_block_fn is not None:
         last_ik = last_kv_block_fn(iq)
@@ -187,15 +193,19 @@ def _fwd_kernel(
             s2s.append(s2)
 
         # ---- online softmax (base-2) --------------------------------------
-        m_prev = m_scr[...]
         m_cur = functools.reduce(
             jnp.maximum,
             [jnp.max(s2, axis=-1, keepdims=True) for s2 in s2s],
         )
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
-        m_scr[...] = m_new
-        acc = acc_scr[...] * alpha
+        if single:
+            m_new = m_cur
+            acc = None
+        else:
+            m_prev = m_scr[...]
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
+            m_scr[...] = m_new
+            acc = acc_scr[...] * alpha
         l_add = None
 
         for u in range(unroll):
@@ -221,27 +231,25 @@ def _fwd_kernel(
                 p = jnp.where(keep, p, 0.0)
 
             v = v_ref[0, 0, u * sub:(u + 1) * sub]
-            acc = acc + jax.lax.dot_general(
+            pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=dot_precision(v),
             )
+            acc = pv if acc is None else acc + pv
 
-        l_scr[...] = l_scr[...] * alpha + l_add
-        acc_scr[...] = acc
+        if single:
+            _write_output(m_new[:, :1], l_add, acc)
+        else:
+            l_scr[...] = l_scr[...] * alpha + l_add
+            acc_scr[...] = acc
 
-    if last_ik is None:
-        _compute()
-    else:
-        pl.when(ik <= last_ik)(_compute)
-
-    @pl.when(is_last)
-    def _finalize():
-        l = l_scr[:, :1]
+    def _write_output(m, l, acc):
+        """Normalize and store o/lse from (m, l, acc) row state."""
         l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
         if dropout_p > 0.0:
             l_inv = l_inv / (1.0 - dropout_p)
-        o = acc_scr[...] * l_inv
+        o = acc * l_inv
         # Dead rows (no valid column anywhere: beyond the actual query
         # length, above a negative-shift causal diagonal, or outside the
         # window) carry self-consistent garbage; overwrite them here with
@@ -258,9 +266,19 @@ def _fwd_kernel(
             valid = jnp.logical_and(valid, row_g + shift - window[0] < kv_len)
         o = jnp.where(valid, o, 0.0)
         o_ref[0, 0] = o.astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log2(l_scr[:, :1])
+        lse = m + jnp.log2(l)
         lse = jnp.where(valid, lse, -jnp.inf)
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+    if last_ik is None:
+        _compute()
+    else:
+        pl.when(ik <= last_ik)(_compute)
+
+    if not single:
+        @pl.when(is_last)
+        def _finalize():
+            _write_output(m_scr[:, :1], l_scr[:, :1], acc_scr[...])
 
 
 def _fwd_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref,

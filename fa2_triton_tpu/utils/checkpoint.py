@@ -31,10 +31,19 @@ class CheckpointManager:
 
     def restore(self, abstract_state: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure/shardings of `abstract_state` (pass a
-        pytree of like-shaped arrays, e.g. a freshly-initialized state)."""
+        pytree of like-shaped arrays, e.g. a freshly-initialized state).
+        Shardings (mesh placement) of the given arrays are preserved, so a
+        TP/DP-sharded train state restores sharded."""
         step = step if step is not None else self._mgr.latest_step()
         assert step is not None, "no checkpoint found"
-        ref = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+
+        def as_abstract(x):
+            x = jax.numpy.asarray(x)
+            return jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+            )
+
+        ref = jax.tree.map(as_abstract, abstract_state)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(ref))
 
     def close(self):
