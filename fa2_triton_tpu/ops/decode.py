@@ -194,3 +194,107 @@ def decode_attention(
         interpret=interpret,
     )(kv_lens.astype(jnp.int32), *args)
     return o[:, :, :group, :].reshape(B, Hq, D)
+
+
+# ------------------------- paged decode (block tables) --------------------
+
+def _decode_kernel_paged(lens_ref, tables_ref, q_ref, k_ref, v_ref,
+                         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr, **kw):
+    # tables_ref is consumed by the BlockSpec index maps only.
+    return _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                          o_ref, m_scr, l_scr, acc_scr, **kw)
+
+
+def _decode_kernel_paged_noquant(lens_ref, tables_ref, q_ref, k_ref, v_ref,
+                                 o_ref, m_scr, l_scr, acc_scr, **kw):
+    return _decode_kernel(lens_ref, q_ref, k_ref, v_ref, None, None,
+                          o_ref, m_scr, l_scr, acc_scr, **kw)
+
+
+def paged_decode_attention(
+    q: jax.Array,                 # [B, Hq, D] — one new token per sequence
+    k_pool: jax.Array,            # [n_pages, Hkv, page_size, D]
+    v_pool: jax.Array,
+    block_tables: jax.Array,      # [B, max_pages] int32 physical page ids
+    kv_lens: jax.Array,           # [B] int32 — valid tokens per sequence
+    k_scale: Optional[jax.Array] = None,   # [n_pages, Hkv, 1, page_size]
+    v_scale: Optional[jax.Array] = None,
+    *,
+    softmax_scale: Optional[float] = None,
+    debug_interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode attention over a PAGED KV cache (vLLM-style block tables).
+
+    Sequence position p of batch b lives at physical page
+    `block_tables[b, p // page_size]`, row `p % page_size`. The page
+    indirection happens in the BlockSpec index maps via a prefetched scalar
+    table — the kernel body is byte-identical to the contiguous
+    `decode_attention`; no gather materializes, each grid step DMAs exactly
+    one live page, and pages past each sequence's length are never fetched
+    (index clamped to the last live page, compute skipped).
+    """
+    B, Hq, D = q.shape
+    n_pages, Hkv, page_size = k_pool.shape[0], k_pool.shape[1], k_pool.shape[2]
+    max_pages = block_tables.shape[1]
+    group = Hq // Hkv
+    assert Hq % Hkv == 0 and D % 128 == 0 and page_size % 128 == 0
+    quantized = k_scale is not None
+    scale = softmax_scale if softmax_scale is not None else default_softmax_scale(D)
+    Gp = max(8, round_up_to_multiple(group, 8))
+
+    qg = q.reshape(B, Hkv, group, D)
+    qg = pad_to_multiple(qg, Gp, 2)
+
+    def kv_index(b, h, ik, lens_ref, tables_ref):
+        last = jnp.maximum((lens_ref[b] - 1) // page_size, 0)
+        page = tables_ref[b, jnp.minimum(ik, last)]
+        return (page, h, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens, tabs: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, page_size, D), kv_index),
+        pl.BlockSpec((1, 1, page_size, D), kv_index),
+    ]
+    args = [qg, k_pool, v_pool]
+    if quantized:
+        assert k_scale.shape == (n_pages, Hkv, 1, page_size), k_scale.shape
+
+        def scale_index(b, h, ik, lens_ref, tables_ref):
+            last = jnp.maximum((lens_ref[b] - 1) // page_size, 0)
+            page = tables_ref[b, jnp.minimum(ik, last)]
+            return (page, h, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, page_size), scale_index),
+            pl.BlockSpec((1, 1, 1, page_size), scale_index),
+        ]
+        args += [k_scale, v_scale]
+        kernel_fn = _decode_kernel_paged
+    else:
+        kernel_fn = _decode_kernel_paged_noquant
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, max_pages),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, Gp, D), lambda b, h, ik, lens, tabs: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, 128), jnp.float32),
+            pltpu.VMEM((Gp, D), jnp.float32),
+        ],
+    )
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+    o = pl.pallas_call(
+        functools.partial(
+            kernel_fn, scale=scale, block_kv=page_size, quantized=quantized
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), block_tables.astype(jnp.int32), *args)
+    return o[:, :, :group, :].reshape(B, Hq, D)
