@@ -310,3 +310,47 @@ def quantize_model_params(params: Params, qdtype=jnp.int8) -> Params:
     out["layers"] = [convert(layer) for layer in params["layers"]]
     out["lm_head"] = quantize_weight(params["lm_head"], qdtype)
     return out
+
+
+def paged_decode_step(
+    params: Params,
+    tokens: jax.Array,        # [B] int32 — one token per slot
+    cfg: LlamaConfig,
+    pools,                    # per-layer page-pool dicts (shared pages)
+    tables: jax.Array,        # [n_slots, max_pages] int32 block tables
+    lens: jax.Array,          # [B] int32 — tokens already in each slot
+    pcfg,                     # runtime.paged_cache.PagedCacheConfig
+):
+    """One batched decode step over the PAGED KV cache (vLLM-style block
+    tables; `ops/decode.py:paged_decode_attention`). Returns
+    (logits [B, V], new_pools)."""
+    from fa2_triton_tpu.ops.decode import paged_decode_attention
+    from fa2_triton_tpu.runtime.paged_cache import write_tokens_paged
+
+    B = tokens.shape[0]
+    x = params["embed"][tokens][:, None, :]
+    cos, sin = rope_cos_sin(lens[:, None], cfg.hd, cfg.rope_theta)
+    cs, sn = cos[:, :, None, :], sin[:, :, None, :]
+    Dp = pcfg.head_dim_padded
+    new_pools = []
+    for layer, pool in zip(params["layers"], pools):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _mm(h, layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.hd)
+        k = _mm(h, layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        v = _mm(h, layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        q = apply_rope(q, cs, sn)
+        k = apply_rope(k, cs, sn)
+        pool = write_tokens_paged(pool, tables, k, v, lens, pcfg)
+        new_pools.append(pool)
+        qp = q[:, 0]
+        if Dp != cfg.hd:
+            qp = jnp.pad(qp, ((0, 0), (0, 0), (0, Dp - cfg.hd)))
+        attn = paged_decode_attention(
+            qp, pool["k"], pool["v"], tables, lens + 1,
+            pool.get("k_scale"), pool.get("v_scale"),
+            softmax_scale=cfg.hd ** -0.5,
+        )[:, :, :cfg.hd]
+        x = x + _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"])
+        x = _mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return _mm(x[:, 0], params["lm_head"]).astype(jnp.float32), new_pools

@@ -108,36 +108,10 @@ class PagedKVCache:
     ) -> None:
         """Scatter S_step new tokens per slot into the shared pool. Callers
         must have `ensure_capacity(slot, position + S_step)` first."""
-        cfg = self.cfg
-        B, S_step, Hkv, D = new_k.shape
-        kT = jnp.transpose(new_k.astype(cfg.compute_dtype), (0, 2, 1, 3))
-        vT = jnp.transpose(new_v.astype(cfg.compute_dtype), (0, 2, 1, 3))
-        pad = cfg.head_dim_padded - D
-        if pad:
-            kT = jnp.pad(kT, ((0, 0), (0, 0), (0, 0), (0, pad)))
-            vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 0), (0, pad)))
-
-        pos = positions[:, None] + jnp.arange(S_step, dtype=jnp.int32)[None, :]
-        tables = self.tables_device()
-        pages = jnp.take_along_axis(tables, pos // cfg.page_size, axis=1)  # [B, S]
-        offs = pos % cfg.page_size
-
-        pool = self.pools[layer_idx]
-        flat = lambda x: x.reshape(-1, *x.shape[2:])
-        p_f, o_f = pages.reshape(-1), offs.reshape(-1)
-        # [B, H, S, Dp] -> token-major [B*S, H, Dp] for the scatter.
-        k_tok = flat(jnp.transpose(kT, (0, 2, 1, 3)))
-        v_tok = flat(jnp.transpose(vT, (0, 2, 1, 3)))
-        if cfg.qdtype is not None:
-            kq, ks = quantize_tensor(k_tok, cfg.qdtype)   # [N, H, Dp], [N, H, 1]
-            vq, vs = quantize_tensor(v_tok, cfg.qdtype)
-            pool["k"] = pool["k"].at[p_f, :, o_f, :].set(kq)
-            pool["v"] = pool["v"].at[p_f, :, o_f, :].set(vq)
-            pool["k_scale"] = pool["k_scale"].at[p_f, :, 0, o_f].set(ks[..., 0])
-            pool["v_scale"] = pool["v_scale"].at[p_f, :, 0, o_f].set(vs[..., 0])
-        else:
-            pool["k"] = pool["k"].at[p_f, :, o_f, :].set(k_tok)
-            pool["v"] = pool["v"].at[p_f, :, o_f, :].set(v_tok)
+        self.pools[layer_idx] = write_tokens_paged(
+            self.pools[layer_idx], self.tables_device(), new_k, new_v,
+            positions, self.cfg,
+        )
 
     # ------------------------- decode read -------------------------------
 
@@ -152,3 +126,44 @@ class PagedKVCache:
             pool.get("k_scale"), pool.get("v_scale"),
             softmax_scale=softmax_scale,
         )
+
+
+def write_tokens_paged(
+    pool: dict,
+    tables: jax.Array,     # [n_slots, max_pages] int32
+    new_k: jax.Array,      # [B, S_step, Hkv, D] — B == n_slots
+    new_v: jax.Array,
+    positions: jax.Array,  # [B] int32 — first token's seq position per slot
+    cfg: PagedCacheConfig,
+) -> dict:
+    """Pure scatter of S_step new tokens per slot into the shared page pool
+    (jit-friendly: pools/tables in, new pools out)."""
+    B, S_step, Hkv, D = new_k.shape
+    kT = jnp.transpose(new_k.astype(cfg.compute_dtype), (0, 2, 1, 3))
+    vT = jnp.transpose(new_v.astype(cfg.compute_dtype), (0, 2, 1, 3))
+    pad = cfg.head_dim_padded - D
+    if pad:
+        kT = jnp.pad(kT, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 0), (0, pad)))
+
+    pos = positions[:, None] + jnp.arange(S_step, dtype=jnp.int32)[None, :]
+    pages = jnp.take_along_axis(tables, pos // cfg.page_size, axis=1)  # [B, S]
+    offs = pos % cfg.page_size
+
+    out = dict(pool)
+    flat = lambda x: x.reshape(-1, *x.shape[2:])
+    p_f, o_f = pages.reshape(-1), offs.reshape(-1)
+    # [B, H, S, Dp] -> token-major [B*S, H, Dp] for the scatter.
+    k_tok = flat(jnp.transpose(kT, (0, 2, 1, 3)))
+    v_tok = flat(jnp.transpose(vT, (0, 2, 1, 3)))
+    if cfg.qdtype is not None:
+        kq, ks = quantize_tensor(k_tok, cfg.qdtype)   # [N, H, Dp], [N, H, 1]
+        vq, vs = quantize_tensor(v_tok, cfg.qdtype)
+        out["k"] = pool["k"].at[p_f, :, o_f, :].set(kq)
+        out["v"] = pool["v"].at[p_f, :, o_f, :].set(vq)
+        out["k_scale"] = pool["k_scale"].at[p_f, :, 0, o_f].set(ks[..., 0])
+        out["v_scale"] = pool["v_scale"].at[p_f, :, 0, o_f].set(vs[..., 0])
+    else:
+        out["k"] = pool["k"].at[p_f, :, o_f, :].set(k_tok)
+        out["v"] = pool["v"].at[p_f, :, o_f, :].set(v_tok)
+    return out

@@ -57,24 +57,54 @@ class Engine:
         max_seq: int = 2048,
         qdtype: Optional[Any] = None,
         eos_id: Optional[int] = None,
+        paged: bool = False,
+        n_pages: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
-        self.kv_cfg = KVCacheConfig(
-            n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads, head_dim=cfg.hd,
-            max_seq=max_seq, n_slots=n_slots, qdtype=qdtype,
-            compute_dtype=cfg.dtype,
-            block_kv=min(4096, max_seq),
+        self.paged = paged
+        if paged:
+            from fa2_triton_tpu.runtime.paged_cache import (
+                PagedCacheConfig, PagedKVCache,
+            )
+            from fa2_triton_tpu.utils import round_up_to_multiple
+
+            page = min(512, round_up_to_multiple(max_seq, 128))
+            max_seq_p = round_up_to_multiple(max_seq, page)
+            pcfg = PagedCacheConfig(
+                n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
+                head_dim=cfg.hd, page_size=page,
+                # Default pool: fully-committed equivalent (+1 reserved page);
+                # size it down to overcommit slots against live tokens.
+                n_pages=(n_pages if n_pages is not None
+                         else n_slots * (max_seq_p // page) + 1),
+                n_slots=n_slots, max_seq=max_seq_p,
+                qdtype=qdtype, compute_dtype=cfg.dtype,
+            )
+            self.pcache = PagedKVCache(pcfg)
+            self.kv_cfg = pcfg  # max_seq_padded shim below
+        else:
+            self.kv_cfg = KVCacheConfig(
+                n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads, head_dim=cfg.hd,
+                max_seq=max_seq, n_slots=n_slots, qdtype=qdtype,
+                compute_dtype=cfg.dtype,
+                block_kv=min(4096, max_seq),
+            )
+            self.caches = init_cache(self.kv_cfg)
+        self._max_seq_padded = (
+            self.kv_cfg.max_seq if paged else self.kv_cfg.max_seq_padded
         )
-        self.caches = init_cache(self.kv_cfg)
         self.lens = jnp.zeros((n_slots,), jnp.int32)
         self.last_tokens = jnp.zeros((n_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.queue: List[Request] = []
         self.stats = EngineStats()
 
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+        if paged:
+            self._decode = jax.jit(self._decode_impl_paged, donate_argnums=(1,))
+        else:
+            self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---------------- jitted device functions ---------------------------
@@ -85,22 +115,47 @@ class Engine:
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
 
+    def _decode_impl_paged(self, tokens, pools, tables, lens):
+        from fa2_triton_tpu.models.llama import paged_decode_step
+
+        logits, pools = paged_decode_step(
+            self.params, tokens, self.cfg, pools, tables, lens,
+            self.pcache.cfg,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
+
     def _get_prefill(self, s_pad: int):
         if s_pad not in self._prefill_cache:
+            if self.paged:
+                from fa2_triton_tpu.runtime.paged_cache import write_tokens_paged
 
-            def _prefill(params, tokens, true_len, caches, slot):
-                logits, kvs = prefill_forward(params, tokens, true_len, self.cfg)
-                new_caches = []
-                for cache, (k, v) in zip(caches, kvs):
-                    # Write the whole padded prompt into the slot's row; the
-                    # per-slot length keeps padded tail positions invisible.
-                    upd = write_kv(
-                        cache_slice(cache, slot), k, v,
-                        jnp.zeros((1,), jnp.int32), self.kv_cfg,
-                    )
-                    new_caches.append(cache_write_back(cache, upd, slot))
-                next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
-                return next_tok, new_caches
+                def _prefill(params, tokens, true_len, pools, tables, slot):
+                    logits, kvs = prefill_forward(params, tokens, true_len, self.cfg)
+                    # Write the whole padded prompt through the slot's block
+                    # table; per-slot lengths hide padded tail positions.
+                    table_row = jax.lax.dynamic_slice_in_dim(tables, slot, 1, 0)
+                    new_pools = [
+                        write_tokens_paged(pool, table_row, k, v,
+                                           jnp.zeros((1,), jnp.int32),
+                                           self.pcache.cfg)
+                        for pool, (k, v) in zip(pools, kvs)
+                    ]
+                    next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
+                    return next_tok, new_pools
+            else:
+                def _prefill(params, tokens, true_len, caches, slot):
+                    logits, kvs = prefill_forward(params, tokens, true_len, self.cfg)
+                    new_caches = []
+                    for cache, (k, v) in zip(caches, kvs):
+                        # Write the whole padded prompt into the slot's row; the
+                        # per-slot length keeps padded tail positions invisible.
+                        upd = write_kv(
+                            cache_slice(cache, slot), k, v,
+                            jnp.zeros((1,), jnp.int32), self.kv_cfg,
+                        )
+                        new_caches.append(cache_write_back(cache, upd, slot))
+                    next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
+                    return next_tok, new_caches
 
             self._prefill_cache[s_pad] = jax.jit(_prefill, donate_argnums=(3,))
         return self._prefill_cache[s_pad]
@@ -119,13 +174,24 @@ class Engine:
                 continue
             req = self.queue.pop(0)
             s_pad = max(64, next_power_of_2(len(req.prompt)))
-            assert s_pad <= self.kv_cfg.max_seq_padded
+            assert s_pad <= self._max_seq_padded
             tokens = np.zeros((1, s_pad), np.int32)
             tokens[0, : len(req.prompt)] = req.prompt
             true_len = jnp.asarray([len(req.prompt)], jnp.int32)
-            next_tok, self.caches = self._get_prefill(s_pad)(
-                self.params, jnp.asarray(tokens), true_len, self.caches, slot
-            )
+            if self.paged:
+                try:
+                    self.pcache.ensure_capacity(slot, s_pad)
+                except MemoryError:
+                    self.queue.insert(0, req)  # retry when pages free up
+                    return
+                next_tok, self.pcache.pools = self._get_prefill(s_pad)(
+                    self.params, jnp.asarray(tokens), true_len,
+                    self.pcache.pools, self.pcache.tables_device(), slot
+                )
+            else:
+                next_tok, self.caches = self._get_prefill(s_pad)(
+                    self.params, jnp.asarray(tokens), true_len, self.caches, slot
+                )
             self.stats.prefill_tokens += len(req.prompt)
             self.lens = self.lens.at[slot].set(len(req.prompt))
             self.last_tokens = self.last_tokens.at[slot].set(next_tok)
@@ -139,10 +205,13 @@ class Engine:
             return
         tok = req.out_tokens[-1] if req.out_tokens else None
         exhausted = len(req.out_tokens) >= req.max_new_tokens
-        full = int(self.lens[slot]) + 1 >= self.kv_cfg.max_seq_padded
+        full = int(self.lens[slot]) + 1 >= self._max_seq_padded
         if (self.eos_id is not None and tok == self.eos_id) or exhausted or full:
             req.done = True
             self.slot_req[slot] = None
+            if self.paged:
+                # Finished sequences return their pages to the shared pool.
+                self.pcache.release(slot)
 
     def step(self):
         """One engine iteration: admit waiting requests, then decode all
@@ -151,9 +220,17 @@ class Engine:
         active = [s for s, r in enumerate(self.slot_req) if r is not None]
         if not active:
             return False
-        next_tokens, self.caches = self._decode(
-            self.last_tokens, self.caches, self.lens
-        )
+        if self.paged:
+            for s in active:
+                self.pcache.ensure_capacity(s, int(self.lens[s]) + 1)
+            next_tokens, self.pcache.pools = self._decode(
+                self.last_tokens, self.pcache.pools,
+                self.pcache.tables_device(), self.lens
+            )
+        else:
+            next_tokens, self.caches = self._decode(
+                self.last_tokens, self.caches, self.lens
+            )
         next_np = np.asarray(next_tokens)
         self.lens = self.lens + jnp.asarray(
             [1 if self.slot_req[s] is not None else 0 for s in range(len(self.slot_req))],

@@ -69,3 +69,37 @@ def test_engine_quantized_matches_unquantized_closely(params):
         outs[qdtype] = req.out_tokens
     matches = sum(a == b for a, b in zip(outs[None], outs[jnp.int8]))
     assert matches >= 2, outs
+
+
+@pytest.mark.parametrize("qdtype", [None, jnp.int8])
+def test_engine_paged_matches_full_forward_greedy(params, qdtype):
+    """Paged-cache engine must reproduce the dense greedy path, and finished
+    requests must return their pages to the shared pool."""
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(0, CFG.vocab_size, size=9).tolist()
+    n_new = 3
+    ref = greedy_reference(params, prompt, n_new)
+
+    eng = Engine(params, CFG, n_slots=2, max_seq=256, qdtype=qdtype, paged=True)
+    free0 = eng.pcache.free_pages
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run()
+    assert req.done
+    if qdtype is None:
+        assert req.out_tokens == ref, (req.out_tokens, ref)
+    else:
+        assert sum(a == b for a, b in zip(req.out_tokens, ref)) >= 2
+    assert eng.pcache.free_pages == free0  # pages released on completion
+
+
+def test_engine_paged_pool_overcommit(params):
+    """A pool smaller than slots x max_seq serves requests sequentially."""
+    rng = np.random.RandomState(4)
+    # 2 slots x 256 max_seq, but only enough pages for ~1.5 sequences.
+    eng = Engine(params, CFG, n_slots=2, max_seq=256, paged=True, n_pages=4)
+    reqs = [eng.submit(rng.randint(0, CFG.vocab_size, size=70).tolist(),
+                       max_new_tokens=3) for _ in range(3)]
+    stats = eng.run()
+    assert all(r.done for r in reqs)
+    assert all(len(r.out_tokens) == 3 for r in reqs)
+    assert stats.decode_tokens > 0
