@@ -47,7 +47,6 @@ from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
 # Finite mask constant in the log2 domain; exp2(x - m) underflows to 0 for any
 # plausible m. Finite so (masked - masked) never yields NaN.
 MASK_LOG2 = -1e30
-MASK_THRESH = -1e29
 
 LANES = 128
 
