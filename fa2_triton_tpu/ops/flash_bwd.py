@@ -151,7 +151,7 @@ def _dq_kernel(
     block_q, block_kv, num_kv_blocks,
     seqlen_q_real, seqlen_k_real, num_q_heads,
     last_kv_block_fn,
-    need_edge_mask, need_diag_mask, unroll,
+    need_edge_mask, need_diag_mask, unroll, split_diag,
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
     q_len = lens_ref[b, 0]
@@ -173,7 +173,7 @@ def _dq_kernel(
 
     sub = block_kv // unroll
 
-    def _compute():
+    def _compute(edge=need_edge_mask, diag=need_diag_mask):
         lse_row = lse_ref[0, 0]
         delta_row = delta_ref[0, 0]
         acc = acc_scr[...]
@@ -195,7 +195,7 @@ def _dq_kernel(
                 block_q=block_q, block_kv=sub,
                 seed=seed, b=b, h=h, num_q_heads=num_q_heads,
                 seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
-                need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+                need_edge_mask=edge, need_diag_mask=diag,
             )
             acc = acc + jax.lax.dot_general(
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -206,6 +206,13 @@ def _dq_kernel(
 
     if last_ik is None:
         _compute()
+    elif split_diag:
+        # Full blocks are strictly below the diagonal (launcher-checked
+        # alignment, exact shapes): completely mask-free body.
+        pl.when(ik < last_ik)(functools.partial(_compute, edge=False,
+                                                diag=False))
+        pl.when(ik == last_ik)(functools.partial(_compute, edge=False,
+                                                 diag=True))
     else:
         pl.when(ik <= last_ik)(_compute)
 
@@ -231,7 +238,7 @@ def _dkdv_kernel(
     block_q, block_kv, num_q_blocks, group,
     seqlen_q_real, seqlen_k_real, num_q_heads,
     first_q_block_fn,
-    need_edge_mask, need_diag_mask, unroll,
+    need_edge_mask, need_diag_mask, unroll, split_diag,
 ):
     b, hkv, ikv, e = (pl.program_id(i) for i in range(4))
     iq = e % num_q_blocks
@@ -250,7 +257,7 @@ def _dkdv_kernel(
 
     sub = block_q // unroll
 
-    def _compute():
+    def _compute(edge=need_edge_mask, diag=need_diag_mask):
         dv_acc = dv_scr[...]
         dk_acc = dk_scr[...]
         # Sub-tile over q rows: independent chains, MXU/VPU overlap.
@@ -273,7 +280,7 @@ def _dkdv_kernel(
                 block_q=sub, block_kv=block_kv,
                 seed=seed, b=b, h=h, num_q_heads=num_q_heads,
                 seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
-                need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+                need_edge_mask=edge, need_diag_mask=diag,
             )
             dv_acc = dv_acc + jax.lax.dot_general(
                 p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -290,6 +297,15 @@ def _dkdv_kernel(
 
     if first_q_block_fn is None:
         _compute()
+    elif split_diag:
+        # For a kv column block, the diagonal lives entirely in the FIRST
+        # needed q block (launcher-checked alignment, exact shapes); later
+        # q blocks are strictly below the diagonal: mask-free body.
+        first_iq = first_q_block_fn(ikv)
+        pl.when(iq > first_iq)(functools.partial(_compute, edge=False,
+                                                 diag=False))
+        pl.when(iq == first_iq)(functools.partial(_compute, edge=False,
+                                                  diag=True))
     else:
         pl.when(iq >= first_q_block_fn(ikv))(_compute)
 
@@ -369,6 +385,7 @@ def flash_attn_backward(
 
     last_kv_fn = None
     first_q_fn = None
+    split_dq = split_dkdv = False
     if causal and static_skip:
         shift_static = sk_real - sq_real
 
@@ -378,6 +395,16 @@ def flash_attn_backward(
 
         def first_q_fn(ikv):
             return jnp.clip((ikv * block_kv - shift_static) // block_q, 0, nq - 1)
+
+        # Diagonal confinement (exact shapes only — padded/varlen rows need
+        # the edge masks everywhere): the dq pass needs each row block's
+        # diagonal inside its LAST kv block; the dk/dv pass needs each kv
+        # block's diagonal inside its FIRST q block.
+        if window == (-1, -1) and not need_edge_mask:
+            split_dq = (block_kv % block_q == 0
+                        and shift_static % block_q == 0)
+            split_dkdv = (block_q % block_kv == 0
+                          and shift_static % block_kv == 0)
 
     common = dict(
         scale=softmax_scale, causal=causal, window=window, softcap=softcap,
@@ -426,7 +453,7 @@ def flash_attn_backward(
     dq = pl.pallas_call(
         functools.partial(dq_kernel_fn, num_kv_blocks=nkv,
                           last_kv_block_fn=last_kv_fn, unroll=unroll_kv,
-                          **common),
+                          split_diag=split_dq, **common),
         grid=(B, Hq, nq, nkv),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, D), q_index),
@@ -487,7 +514,7 @@ def flash_attn_backward(
     dk, dv = pl.pallas_call(
         functools.partial(dkdv_kernel_fn, num_q_blocks=nq, group=group,
                           first_q_block_fn=first_q_fn, unroll=unroll_q,
-                          **common),
+                          split_diag=split_dkdv, **common),
         grid=(B, Hkv, nkv, group * nq),
         in_specs=dkdv_in_specs,
         out_specs=(

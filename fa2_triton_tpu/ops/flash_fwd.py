@@ -83,6 +83,8 @@ def _fwd_kernel(
     varlen: bool,       # per-batch lengths may be shorter than seqlen_*_real
     prescaled: bool,    # q pre-multiplied by scale*log2e on the host
     unroll: int,        # KV sub-tiles per block with independent MXU chains
+    split_diag: bool,   # causal: only the last KV block of a row intersects
+                        # the diagonal -> full blocks run a mask-free body
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
     q_len = lens_ref[b, 0]
@@ -135,7 +137,7 @@ def _fwd_kernel(
     # same effect; measured +20% at S=4096, benchmarks/kernel_lab.py).
     sub = block_kv // unroll
 
-    def _compute():
+    def _compute(need_col_mask=need_col_mask, need_diag_mask=need_diag_mask):
         q = q_ref[0, 0]
         # The causal/window diagonal is bottom-right aligned on actual
         # lengths: keep iff
@@ -271,6 +273,20 @@ def _fwd_kernel(
 
     if last_ik is None:
         _compute()
+    elif split_diag:
+        # The causal diagonal lives entirely in each row block's LAST needed
+        # KV block (alignment checked by the launcher), so strictly-below
+        # blocks run a completely mask-free body: no iota, no compares, no
+        # selects — the diagonal block alone pays for masking. The diagonal
+        # mask there also subsumes column-validity masking (valid rows only
+        # attend to cols <= row + shift < kv_len; dead rows are overwritten
+        # by the finalizer).
+        pl.when(ik < last_ik)(
+            functools.partial(_compute, need_col_mask=False,
+                              need_diag_mask=False))
+        pl.when(ik == last_ik)(
+            functools.partial(_compute, need_col_mask=False,
+                              need_diag_mask=True))
     else:
         pl.when(ik <= last_ik)(_compute)
 
@@ -337,12 +353,23 @@ def flash_attn_forward(
     # q=kv) padding mask the per-batch shift is exactly 0 and sq_real ==
     # sk_real. The caller asserts this via `static_skip`.
     last_kv_fn = None
+    split_diag = False
     if causal and static_skip:
         shift_static = sk_real - sq_real
 
         def last_kv_fn(iq):
             last_col = iq * block_q + block_q - 1 + shift_static
             return jnp.clip(last_col // block_kv, 0, nkv - 1)
+
+        # Diagonal-confinement: when row blocks and the causal shift are
+        # aligned to the KV blocking, rows [iq*bq, iq*bq+bq) have their
+        # entire diagonal inside KV block last_kv_fn(iq); every earlier
+        # block is strictly below the diagonal and can skip masking.
+        split_diag = (
+            window == (-1, -1)
+            and block_kv % block_q == 0
+            and shift_static % block_q == 0
+        )
 
     def kv_index(b, h, iq, ik):
         if last_kv_fn is not None:
@@ -388,6 +415,7 @@ def flash_attn_forward(
         varlen=varlen,
         prescaled=True,
         unroll=unroll,
+        split_diag=split_diag,
     )
 
     out_shapes = (
