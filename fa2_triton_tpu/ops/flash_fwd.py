@@ -93,10 +93,11 @@ def _fwd_kernel(
     kv_off = scal_ref[0, 1]
     seed = scal_ref[0, 2]
 
-    # Single-KV-block launches (the whole key strip fits one block) carry no
-    # cross-step state: skip the scratch init/rescale/finalize machinery and
-    # write the output from locals.
-    single = num_kv_blocks == 1 and last_kv_block_fn is None
+    # NOTE: a "single KV block" fast path that skipped the scratch state
+    # machine entirely measured 6% SLOWER on v5e (139.6 vs 148.9 TFLOP/s at
+    # S=4096 bkv=4096) — the scratch RMW apparently gives Mosaic's scheduler
+    # useful slack — so the state machine runs unconditionally.
+    single = False
 
     if not single:
         @pl.when(ik == 0)
