@@ -214,7 +214,11 @@ def prefill_forward(
         k = apply_rope(_mm(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd), cs, sn)
         v = _mm(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
         kvs.append((k, v))
-        attn = flash_attn_func(q, k, v, attention_mask=mask, causal=True)
+        attn = flash_attn_func(
+            q, k, v, attention_mask=mask, causal=True,
+            window_size=(cfg.sliding_window, 0) if cfg.sliding_window >= 0
+            else (-1, -1),
+        )
         x = x + _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"])
         x = _mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
@@ -259,6 +263,7 @@ def decode_step(
             # Scale from the MODEL head dim, not the lane-padded one.
             softmax_scale=cfg.hd ** -0.5,
             block_kv=kv_cfg.block_kv,
+            window_left=cfg.sliding_window,
         )[:, :, :cfg.hd]
         x = x + _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"])
         x = _mlp_block(layer, x, cfg)
@@ -349,6 +354,7 @@ def paged_decode_step(
             qp, pool["k"], pool["v"], tables, lens + 1,
             pool.get("k_scale"), pool.get("v_scale"),
             softmax_scale=cfg.hd ** -0.5,
+            window_left=cfg.sliding_window,
         )[:, :, :cfg.hd]
         x = x + _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"])
         x = _mlp_block(layer, x, cfg)

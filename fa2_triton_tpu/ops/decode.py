@@ -53,10 +53,16 @@ def _decode_kernel(
     scale: float,
     block_kv: int,
     quantized: bool,
+    window_left: int = -1,   # Mistral-style: attend to the last window_left+1
+                             # positions only (-1 = full prefix)
 ):
     b, h, ik = (pl.program_id(i) for i in range(3))
     kv_len = lens_ref[b]
     last = jnp.maximum((kv_len - 1) // block_kv, 0)
+    if window_left >= 0:
+        first = jnp.maximum((kv_len - 1 - window_left) // block_kv, 0)
+    else:
+        first = 0
 
     @pl.when(ik == 0)
     def _init():
@@ -64,7 +70,7 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(ik <= last)
+    @pl.when(jnp.logical_and(first <= ik, ik <= last))
     def _compute():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -81,7 +87,11 @@ def _decode_kernel(
         col = ik * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (q.shape[0], block_kv), 1
         )
-        s2 = jnp.where(col < kv_len, s2, MASK_LOG2)
+        keep = col < kv_len
+        if window_left >= 0:
+            # The (single) query row sits at position kv_len - 1.
+            keep = jnp.logical_and(keep, col >= kv_len - 1 - window_left)
+        s2 = jnp.where(keep, s2, MASK_LOG2)
         m_prev = m_scr[...]
         m_new = jnp.maximum(m_prev, jnp.max(s2, axis=-1, keepdims=True))
         alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
@@ -122,11 +132,14 @@ def decode_attention(
     *,
     softmax_scale: Optional[float] = None,
     block_kv: int = 4096,
+    window_left: int = -1,
     debug_interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Returns attention output [B, Hq, D]. Cache layout is BHSD with S_max
     a multiple of block_kv and D a multiple of 128 (allocate caches padded —
-    see `runtime/kv_cache.py`); scales transposed [B, Hkv, 1, S_max]."""
+    see `runtime/kv_cache.py`); scales transposed [B, Hkv, 1, S_max].
+    `window_left >= 0` = sliding-window decode: only the last window_left+1
+    positions are attended (blocks before the window are never DMA'd)."""
     B, Hq, D = q.shape
     Hkv, S_max = k_cache.shape[1], k_cache.shape[2]
     group = Hq // Hkv
@@ -134,9 +147,14 @@ def decode_attention(
     quantized = k_scale is not None
     scale = softmax_scale if softmax_scale is not None else default_softmax_scale(D)
 
+    # Shrink the block until it divides the cache extent (e.g. S_max=6144
+    # with the 4096 default steps down to 3072) — callers with oddly padded
+    # caches must not crash, they just get a smaller block.
     block_kv = min(block_kv, round_up_to_multiple(S_max, 128))
-    assert S_max % block_kv == 0 and D % 128 == 0, (
-        "allocate caches padded: S_max % block_kv == 0, D % 128 == 0"
+    while S_max % block_kv != 0:
+        block_kv -= 128
+    assert block_kv >= 128 and D % 128 == 0, (
+        "allocate caches padded: S_max % 128 == 0, D % 128 == 0"
     )
     nkv = S_max // block_kv
     Gp = max(8, round_up_to_multiple(group, 8))
@@ -145,13 +163,19 @@ def decode_attention(
     qg = q.reshape(B, Hkv, group, D)
     qg = pad_to_multiple(qg, Gp, 2)
 
-    def kv_index(b, h, ik, lens_ref):
+    def _clamp(ik, lens_ref, b):
         last = jnp.maximum((lens_ref[b] - 1) // block_kv, 0)
-        return (b, h, jnp.minimum(ik, last), 0)
+        ik = jnp.minimum(ik, last)
+        if window_left >= 0:
+            first = jnp.maximum((lens_ref[b] - 1 - window_left) // block_kv, 0)
+            ik = jnp.maximum(ik, first)
+        return ik
+
+    def kv_index(b, h, ik, lens_ref):
+        return (b, h, _clamp(ik, lens_ref, b), 0)
 
     def scale_index(b, h, ik, lens_ref):
-        last = jnp.maximum((lens_ref[b] - 1) // block_kv, 0)
-        return (b, h, 0, jnp.minimum(ik, last))
+        return (b, h, 0, _clamp(ik, lens_ref, b))
 
     in_specs = [
         pl.BlockSpec((1, 1, Gp, D), lambda b, h, ik, lens: (b, h, 0, 0)),
@@ -184,7 +208,8 @@ def decode_attention(
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
     o = pl.pallas_call(
         functools.partial(
-            kernel_fn, scale=scale, block_kv=block_kv, quantized=quantized
+            kernel_fn, scale=scale, block_kv=block_kv, quantized=quantized,
+            window_left=window_left,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
@@ -221,6 +246,7 @@ def paged_decode_attention(
     v_scale: Optional[jax.Array] = None,
     *,
     softmax_scale: Optional[float] = None,
+    window_left: int = -1,
     debug_interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Decode attention over a PAGED KV cache (vLLM-style block tables).
@@ -245,9 +271,16 @@ def paged_decode_attention(
     qg = q.reshape(B, Hkv, group, D)
     qg = pad_to_multiple(qg, Gp, 2)
 
-    def kv_index(b, h, ik, lens_ref, tables_ref):
+    def _clamp(ik, lens_ref, b):
         last = jnp.maximum((lens_ref[b] - 1) // page_size, 0)
-        page = tables_ref[b, jnp.minimum(ik, last)]
+        ik = jnp.minimum(ik, last)
+        if window_left >= 0:
+            first = jnp.maximum((lens_ref[b] - 1 - window_left) // page_size, 0)
+            ik = jnp.maximum(ik, first)
+        return ik
+
+    def kv_index(b, h, ik, lens_ref, tables_ref):
+        page = tables_ref[b, _clamp(ik, lens_ref, b)]
         return (page, h, 0, 0)
 
     in_specs = [
@@ -260,8 +293,7 @@ def paged_decode_attention(
         assert k_scale.shape == (n_pages, Hkv, 1, page_size), k_scale.shape
 
         def scale_index(b, h, ik, lens_ref, tables_ref):
-            last = jnp.maximum((lens_ref[b] - 1) // page_size, 0)
-            page = tables_ref[b, jnp.minimum(ik, last)]
+            page = tables_ref[b, _clamp(ik, lens_ref, b)]
             return (page, h, 0, 0)
 
         in_specs += [
@@ -288,7 +320,8 @@ def paged_decode_attention(
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
     o = pl.pallas_call(
         functools.partial(
-            kernel_fn, scale=scale, block_kv=page_size, quantized=quantized
+            kernel_fn, scale=scale, block_kv=page_size, quantized=quantized,
+            window_left=window_left,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),

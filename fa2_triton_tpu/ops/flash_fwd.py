@@ -97,14 +97,11 @@ def _fwd_kernel(
     # machine entirely measured 6% SLOWER on v5e (139.6 vs 148.9 TFLOP/s at
     # S=4096 bkv=4096) — the scratch RMW apparently gives Mosaic's scheduler
     # useful slack — so the state machine runs unconditionally.
-    single = False
-
-    if not single:
-        @pl.when(ik == 0)
-        def _init():
-            m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
-            l_scr[...] = jnp.zeros_like(l_scr)
-            acc_scr[...] = jnp.zeros_like(acc_scr)
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if last_kv_block_fn is not None:
         last_ik = last_kv_block_fn(iq)
@@ -199,15 +196,11 @@ def _fwd_kernel(
             jnp.maximum,
             [jnp.max(s2, axis=-1, keepdims=True) for s2 in s2s],
         )
-        if single:
-            m_new = m_cur
-            acc = None
-        else:
-            m_prev = m_scr[...]
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
-            m_scr[...] = m_new
-            acc = acc_scr[...] * alpha
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev[:, :1] - m_new[:, :1])
+        m_scr[...] = m_new
+        acc = acc_scr[...] * alpha
         l_add = None
 
         for u in range(unroll):
@@ -233,18 +226,14 @@ def _fwd_kernel(
                 p = jnp.where(keep, p, 0.0)
 
             v = v_ref[0, 0, u * sub:(u + 1) * sub]
-            pv = jax.lax.dot_general(
+            acc = acc + jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=dot_precision(v),
             )
-            acc = pv if acc is None else acc + pv
 
-        if single:
-            _write_output(m_new[:, :1], l_add, acc)
-        else:
-            l_scr[...] = l_scr[...] * alpha + l_add
-            acc_scr[...] = acc
+        l_scr[...] = l_scr[...] * alpha + l_add
+        acc_scr[...] = acc
 
     def _write_output(m, l, acc):
         """Normalize and store o/lse from (m, l, acc) row state."""
@@ -291,10 +280,9 @@ def _fwd_kernel(
     else:
         pl.when(ik <= last_ik)(_compute)
 
-    if not single:
-        @pl.when(is_last)
-        def _finalize():
-            _write_output(m_scr[:, :1], l_scr[:, :1], acc_scr[...])
+    @pl.when(is_last)
+    def _finalize():
+        _write_output(m_scr[:, :1], l_scr[:, :1], acc_scr[...])
 
 
 def _fwd_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref,
@@ -323,9 +311,14 @@ def flash_attn_forward(
     seqlen_k_real: Optional[int] = None,
     static_skip: bool = False,
     varlen: bool = False,
+    q_prescaled: bool = False,
     debug_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Launch the forward kernel on BHSD tensors already padded to blocks.
+
+    `q_prescaled=True` means the caller already multiplied q by
+    softmax_scale*log2(e) (loop callers like ring attention hoist this out
+    of their per-chunk loop).
 
     Returns (o [B, Hq, Sq, D], lse [B, Hq, Sq] base-2 units, fp32).
     """
@@ -347,7 +340,8 @@ def flash_attn_forward(
     # on the VPU — the reference folds the same constant into its
     # softmax_scale at `src/forward/kernel.py:119`; here it moves out of the
     # kernel entirely (~8% forward speedup, benchmarks/kernel_lab.py).
-    q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+    if not q_prescaled:
+        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
 
     # Static causal skipping is sound when the causal shift is known at trace
     # time: without a padding mask it's sk_real - sq_real; with a (shared

@@ -73,10 +73,11 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
         else:
             bkv = _waste_aware(seqlen_k, (4096, 2048, 1024, 512, 256, 128))
             # Keep the f32 score tile around 2M elements: (512, 4096),
-            # (1024, 2048), (1024, 1024), ...
-            bq = _waste_aware(
-                seqlen_q, (max(128, min(1024, (512 * 4096) // bkv)),
-                           512, 256, 128))
+            # (1024, 2048), (1024, 1024), ... The derived candidate must be
+            # lane-aligned: _waste_aware can return non-power-of-2 bkv
+            # (e.g. 3072 for seqlen 3000), so round down to a 128 multiple.
+            bq_cand = max(128, min(1024, (512 * 4096) // bkv) // 128 * 128)
+            bq = _waste_aware(seqlen_q, (bq_cand, 512, 256, 128))
             if bkv <= 512:
                 unroll_kv = 1
     elif head_dim_padded <= 256:

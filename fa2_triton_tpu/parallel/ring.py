@@ -45,6 +45,7 @@ from fa2_triton_tpu.ops.flash_fwd import MASK_LOG2, flash_attn_forward
 from fa2_triton_tpu.ops.tuning import choose_block_sizes
 from fa2_triton_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
 from fa2_triton_tpu.utils import (
+    LOG2E,
     default_softmax_scale,
     pad_to_multiple,
     round_up_to_multiple,
@@ -96,6 +97,9 @@ def _ring_forward_impl(cfg: RingConfig, q, k, v):
     qT = pad_to_multiple(_to_bhsd(q), 128, 3)
     kT = pad_to_multiple(_to_bhsd(k), 128, 3)
     vT = pad_to_multiple(_to_bhsd(v), 128, 3)
+    # Hoist the scale*log2e fold out of the per-chunk loop (the launcher
+    # would otherwise redo this elementwise pass once per ring hop).
+    qT = (qT.astype(jnp.float32) * (scale * LOG2E)).astype(qT.dtype)
 
     S_tot = n * S_loc
     lens = jnp.broadcast_to(jnp.array([[S_tot, S_tot]], jnp.int32), (B, 2))
@@ -118,7 +122,7 @@ def _ring_forward_impl(cfg: RingConfig, q, k, v):
                 causal=cfg.causal, softmax_scale=scale,
                 block_q=bq, block_kv=bkv,
                 seqlen_q_real=S_loc, seqlen_k_real=S_loc,
-                static_skip=False, varlen=False,
+                static_skip=False, varlen=False, q_prescaled=True,
             )
             return _merge(m, l, acc, o_c, lse_c)
 

@@ -35,7 +35,10 @@ class KVCacheConfig:
 
     @property
     def max_seq_padded(self) -> int:
-        return round_up_to_multiple(self.max_seq, self.block_kv)
+        # Pad to lanes only — the decode kernel shrinks its block to a
+        # divisor of the cache extent, so padding max_seq to block_kv (2x
+        # memory for max_seq=4100) is unnecessary.
+        return round_up_to_multiple(self.max_seq, 128)
 
 
 def init_cache(cfg: KVCacheConfig) -> List[dict]:

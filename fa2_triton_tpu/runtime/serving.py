@@ -213,6 +213,19 @@ class Engine:
                 # Finished sequences return their pages to the shared pool.
                 self.pcache.release(slot)
 
+    def _preempt(self, slot: int):
+        """Evict an in-flight request from its slot (paged mode): its pages
+        return to the pool, and it re-enters the queue with generated tokens
+        folded into the prompt, so it later resumes exactly where it was."""
+        req = self.slot_req[slot]
+        req.prompt = list(req.prompt) + [int(t) for t in req.out_tokens]
+        # out_tokens are kept: 'exhausted' accounting and the user-visible
+        # generation stay correct; the re-prefill continues from the last
+        # generated token.
+        self.slot_req[slot] = None
+        self.pcache.release(slot)
+        self.queue.insert(0, req)
+
     def step(self):
         """One engine iteration: admit waiting requests, then decode all
         active slots by one token."""
@@ -221,8 +234,29 @@ class Engine:
         if not active:
             return False
         if self.paged:
-            for s in active:
-                self.pcache.ensure_capacity(s, int(self.lens[s]) + 1)
+            for s in list(active):
+                if self.slot_req[s] is None:  # preempted earlier this step
+                    continue
+                while True:
+                    try:
+                        self.pcache.ensure_capacity(s, int(self.lens[s]) + 1)
+                        break
+                    except MemoryError:
+                        # Pool exhausted mid-generation: preempt another
+                        # active sequence (vLLM-style) — requeue it with its
+                        # progress folded into the prompt (greedy decode is
+                        # deterministic, so it resumes identically), release
+                        # its pages, retry.
+                        victims = [v for v in active if v != s
+                                   and self.slot_req[v] is not None]
+                        if not victims:
+                            raise  # nothing left to preempt
+                        v = max(victims,
+                                key=lambda x: len(self.pcache._slot_pages[x]))
+                        self._preempt(v)
+            active = [s for s in active if self.slot_req[s] is not None]
+            if not active:
+                return bool(self.queue)
             next_tokens, self.pcache.pools = self._decode(
                 self.last_tokens, self.pcache.pools,
                 self.pcache.tables_device(), self.lens
@@ -232,10 +266,12 @@ class Engine:
                 self.last_tokens, self.caches, self.lens
             )
         next_np = np.asarray(next_tokens)
-        self.lens = self.lens + jnp.asarray(
-            [1 if self.slot_req[s] is not None else 0 for s in range(len(self.slot_req))],
-            jnp.int32,
+        active_mask = jnp.asarray(
+            [self.slot_req[s] is not None for s in range(len(self.slot_req))]
         )
+        # Feed each slot's freshly generated token into the next step.
+        self.last_tokens = jnp.where(active_mask, next_tokens, self.last_tokens)
+        self.lens = self.lens + active_mask.astype(jnp.int32)
         for s in active:
             self.slot_req[s].out_tokens.append(int(next_np[s]))
             self.stats.decode_tokens += 1

@@ -56,8 +56,22 @@ def main():
         eng.submit(rng.randint(0, cfg.vocab_size, size=plen).tolist(),
                    max_new_tokens=args.new_tokens)
 
-    # Warm the jit caches (prefill buckets + decode) on a throwaway request,
-    # then measure the drain.
+    # Warm the jit caches (every prefill bucket + the decode step) on
+    # throwaway requests so the measured drain excludes compile time.
+    from fa2_triton_tpu.runtime.serving import EngineStats
+
+    pending = list(eng.queue)
+    eng.queue = []
+    seen = set()
+    for r in pending:
+        bucket = max(64, 1 << (len(r.prompt) - 1).bit_length())
+        if bucket not in seen:
+            seen.add(bucket)
+            eng.submit([1] * len(r.prompt), max_new_tokens=2)
+    eng.run()
+    eng.queue = pending
+    eng.stats = EngineStats()
+
     stats = eng.run()
     print(
         f"prefill {stats.prefill_tokens} tok, decode {stats.decode_tokens} tok "

@@ -64,22 +64,29 @@ def make_guarded_step(step_fn: Callable) -> Callable:
 
 
 def devices_healthy(devices=None, timeout_s: float = 30.0) -> bool:
-    """Probe that every device executes and returns a trivial program.
-
-    A wedged/detached chip surfaces here as an exception or hang (bounded
-    by the caller's scheduling) instead of poisoning a long training step.
-    """
-    import numpy as np
+    """Probe that every device executes and returns a trivial program
+    within `timeout_s` — a wedged/detached chip surfaces as False instead
+    of hanging a long training step (the probe runs in a daemon thread so
+    a hung runtime call cannot block the caller past the timeout)."""
+    import threading
 
     devices = devices if devices is not None else jax.devices()
-    try:
-        for d in devices:
-            x = jax.device_put(jnp.ones((8, 128), jnp.float32), d)
-            if float(jnp.sum(x)) != 8 * 128:
-                return False
-        return True
-    except Exception:
-        return False
+    result = {"ok": False}
+
+    def probe():
+        try:
+            for d in devices:
+                x = jax.device_put(jnp.ones((8, 128), jnp.float32), d)
+                if float(jnp.sum(x)) != 8 * 128:
+                    return
+            result["ok"] = True
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return result["ok"]
 
 
 @dataclass
@@ -117,15 +124,22 @@ class ResilientTrainer:
 
     def run(self, state: Any, batches, start_step: int = 0) -> Any:
         step = start_step
+        oks, last_loss = [], None
         for batch in batches:
             state, loss, ok = self._step(state, batch)
             step += 1
             self.report.steps_run += 1
-            if not bool(ok):
-                self.report.steps_skipped += 1
-            self.report.last_loss = float(loss)
+            # Keep ok/loss as device values — converting here would force a
+            # host sync every step and serialize dispatch against compute;
+            # they are drained at checkpoint boundaries and at the end.
+            oks.append(ok)
+            last_loss = loss
             if step % self._save_every == 0:
                 self._ckpt.save(step, state)
+        self.report.steps_skipped += int(
+            sum(1 for ok in oks if not bool(ok)))
+        if last_loss is not None:
+            self.report.last_loss = float(last_loss)
         self._ckpt.save(step, state)
         return state
 

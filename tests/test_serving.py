@@ -103,3 +103,70 @@ def test_engine_paged_pool_overcommit(params):
     assert all(r.done for r in reqs)
     assert all(len(r.out_tokens) == 3 for r in reqs)
     assert stats.decode_tokens > 0
+
+
+def test_engine_long_generation_varied_tokens():
+    """Regression: `last_tokens` must advance every decode step. The default
+    tiny model degenerates to a constant token (which masked a stale-token
+    bug); this config generates a VARIED greedy sequence, so feeding a stale
+    token diverges immediately."""
+    cfg = LlamaConfig(
+        vocab_size=512, dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        hidden_dim=192, max_seq_len=256, dtype=jnp.float32, rope_theta=100.0,
+    )
+    params_v = init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(2)
+    prompt = rng.randint(0, 512, size=11).tolist()
+    toks = list(prompt)
+    for _ in range(8):
+        logits = forward(params_v, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    ref = toks[len(prompt):]
+    assert len(set(ref)) >= 3, "test config must generate varied tokens"
+    for paged in (False, True):
+        eng = Engine(params_v, cfg, n_slots=2, max_seq=256, paged=paged)
+        req = eng.submit(prompt, max_new_tokens=8)
+        eng.run()
+        assert req.out_tokens == ref, (paged, req.out_tokens, ref)
+
+
+def test_engine_paged_preemption_mid_generation(params):
+    """When the page pool exhausts mid-generation, a victim sequence is
+    preempted (pages released, progress folded into its prompt) and later
+    resumes to the same greedy result."""
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(0, CFG.vocab_size, size=100).tolist() for _ in range(2)]
+    refs = [greedy_reference(params, p, 40) for p in prompts]
+
+    # page_size=128 after clamping; 3 usable pages for 2 slots that each
+    # need 2 pages to finish (100 prompt + 40 generated > 128).
+    eng = Engine(params, CFG, n_slots=2, max_seq=256, paged=True, n_pages=4)
+    reqs = [eng.submit(p, max_new_tokens=40) for p in prompts]
+    eng.run()
+    assert all(r.done for r in reqs)
+    for r, ref in zip(reqs, refs):
+        assert r.out_tokens == ref, (r.out_tokens, ref)
+
+
+def test_engine_sliding_window_matches_full_forward():
+    """Serving with a Mistral-style sliding window must reproduce the
+    windowed training forward's greedy path — prefill AND decode honor
+    cfg.sliding_window (the decode kernel masks/skips pre-window blocks)."""
+    cfg = LlamaConfig(
+        vocab_size=512, dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        hidden_dim=192, max_seq_len=256, dtype=jnp.float32, rope_theta=100.0,
+        sliding_window=24,
+    )
+    params_w = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(0, 512, size=40).tolist()
+    toks = list(prompt)
+    for _ in range(8):
+        logits = forward(params_w, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    ref = toks[len(prompt):]
+    for paged in (False, True):
+        eng = Engine(params_w, cfg, n_slots=2, max_seq=256, paged=paged)
+        req = eng.submit(prompt, max_new_tokens=8)
+        eng.run()
+        assert req.out_tokens == ref, (paged, req.out_tokens, ref)

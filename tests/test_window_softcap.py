@@ -22,3 +22,36 @@ def test_softcap(softcap):
 
 def test_softcap_with_bias():
     run_attention_case(2, 4, 2, 128, 128, 64, causal=False, softcap=20.0, use_bias=True)
+
+
+def test_block_sizes_always_lane_aligned():
+    """Regression: odd seqlens must never produce non-128-aligned blocks
+    (4700/3000 once derived block_q=682 and crashed flash_attn_func)."""
+    from fa2_triton_tpu.ops.tuning import choose_block_sizes
+
+    for sq, sk in [(4700, 3000), (3000, 4700), (2900, 2900), (1, 1),
+                   (130, 131), (8192, 640)]:
+        for causal in (False, True):
+            for bias in (False, True):
+                bs = choose_block_sizes(sq, sk, 128, causal=causal,
+                                        has_bias=bias)
+                for v in (bs.block_q, bs.block_kv, bs.block_q_bwd,
+                          bs.block_kv_bwd):
+                    assert v % 128 == 0, (sq, sk, causal, bias, bs)
+
+
+def test_decode_attention_odd_cache_extent():
+    """Regression: S_max that is a multiple of 128 but not of the default
+    block must shrink the block, not assert (e.g. S_max=6144)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fa2_triton_tpu.ops.decode import decode_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.normal(0, 0.5, (2, 4, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.5, (2, 2, 640, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.5, (2, 2, 640, 128)), jnp.float32)
+    lens = jnp.asarray([640, 200], jnp.int32)
+    out = decode_attention(q, k, v, lens)  # 640 % 4096 != 0 -> shrink
+    assert out.shape == (2, 4, 128)
+    assert bool(jnp.all(jnp.isfinite(out)))
