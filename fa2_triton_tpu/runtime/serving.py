@@ -95,31 +95,39 @@ class Engine:
         self._max_seq_padded = (
             self.kv_cfg.max_seq if paged else self.kv_cfg.max_seq_padded
         )
-        self.lens = jnp.zeros((n_slots,), jnp.int32)
+        # Host-side lens mirror: the engine already knows every slot's
+        # length exactly, so scheduling reads host memory (a device read
+        # through the axon tunnel costs ~25 ms per sync and was the serving
+        # throughput bottleneck); the device copy is rebuilt per step (one
+        # cheap async H2D).
+        self.lens_np = np.zeros((n_slots,), np.int32)
         self.last_tokens = jnp.zeros((n_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.queue: List[Request] = []
         self.stats = EngineStats()
 
+        # params ride as a jit ARGUMENT (not a closure constant — closed-over
+        # params would be baked into the HLO as literals, ballooning the
+        # program past remote-compile limits).
         if paged:
-            self._decode = jax.jit(self._decode_impl_paged, donate_argnums=(1,))
+            self._decode = jax.jit(self._decode_impl_paged, donate_argnums=(2,))
         else:
-            self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+            self._decode = jax.jit(self._decode_impl, donate_argnums=(2,))
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---------------- jitted device functions ---------------------------
 
-    def _decode_impl(self, tokens, caches, lens):
+    def _decode_impl(self, params, tokens, caches, lens):
         logits, caches = decode_step(
-            self.params, tokens, self.cfg, caches, lens, self.kv_cfg
+            params, tokens, self.cfg, caches, lens, self.kv_cfg
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
 
-    def _decode_impl_paged(self, tokens, pools, tables, lens):
+    def _decode_impl_paged(self, params, tokens, pools, tables, lens):
         from fa2_triton_tpu.models.llama import paged_decode_step
 
         logits, pools = paged_decode_step(
-            self.params, tokens, self.cfg, pools, tables, lens,
+            params, tokens, self.cfg, pools, tables, lens,
             self.pcache.cfg,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
@@ -193,7 +201,7 @@ class Engine:
                     self.params, jnp.asarray(tokens), true_len, self.caches, slot
                 )
             self.stats.prefill_tokens += len(req.prompt)
-            self.lens = self.lens.at[slot].set(len(req.prompt))
+            self.lens_np[slot] = len(req.prompt)
             self.last_tokens = self.last_tokens.at[slot].set(next_tok)
             req.out_tokens.append(int(next_tok))
             self.slot_req[slot] = req
@@ -205,7 +213,7 @@ class Engine:
             return
         tok = req.out_tokens[-1] if req.out_tokens else None
         exhausted = len(req.out_tokens) >= req.max_new_tokens
-        full = int(self.lens[slot]) + 1 >= self._max_seq_padded
+        full = int(self.lens_np[slot]) + 1 >= self._max_seq_padded
         if (self.eos_id is not None and tok == self.eos_id) or exhausted or full:
             req.done = True
             self.slot_req[slot] = None
@@ -239,7 +247,7 @@ class Engine:
                     continue
                 while True:
                     try:
-                        self.pcache.ensure_capacity(s, int(self.lens[s]) + 1)
+                        self.pcache.ensure_capacity(s, int(self.lens_np[s]) + 1)
                         break
                     except MemoryError:
                         # Pool exhausted mid-generation: preempt another
@@ -257,21 +265,25 @@ class Engine:
             active = [s for s in active if self.slot_req[s] is not None]
             if not active:
                 return bool(self.queue)
+            lens_dev = jnp.asarray(self.lens_np)
             next_tokens, self.pcache.pools = self._decode(
-                self.last_tokens, self.pcache.pools,
-                self.pcache.tables_device(), self.lens
+                self.params, self.last_tokens, self.pcache.pools,
+                self.pcache.tables_device(), lens_dev
             )
         else:
+            lens_dev = jnp.asarray(self.lens_np)
             next_tokens, self.caches = self._decode(
-                self.last_tokens, self.caches, self.lens
+                self.params, self.last_tokens, self.caches, lens_dev
             )
+        # The ONLY per-step device read: the freshly generated tokens.
         next_np = np.asarray(next_tokens)
         active_mask = jnp.asarray(
             [self.slot_req[s] is not None for s in range(len(self.slot_req))]
         )
         # Feed each slot's freshly generated token into the next step.
         self.last_tokens = jnp.where(active_mask, next_tokens, self.last_tokens)
-        self.lens = self.lens + active_mask.astype(jnp.int32)
+        for s in active:
+            self.lens_np[s] += 1
         for s in active:
             self.slot_req[s].out_tokens.append(int(next_np[s]))
             self.stats.decode_tokens += 1
