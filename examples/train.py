@@ -49,7 +49,7 @@ def main():
     from fa2_triton_tpu.utils.profiling import roofline
     from fa2_triton_tpu.utils.resilience import ResilientTrainer, devices_healthy
 
-    assert devices_healthy(), "device probe failed"
+    assert devices_healthy(jax.devices()), "device probe failed"
     mesh = make_mesh(data=args.dp, model=args.tp)
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = LlamaConfig(
@@ -101,9 +101,17 @@ def main():
             b = rng.randint(0, cfg.vocab_size, size=(args.batch, args.seq))
             yield jax.device_put(jnp.asarray(b, jnp.int32), batch_sharding)
 
+    # Warm the compile on one batch outside the timed region, then time the
+    # steady-state steps without the final checkpoint.
+    warm = next(batches())
+    state, _, _ = trainer._step(state, warm)
+    jax.block_until_ready(state)
+
     t0 = time.perf_counter()
-    state = trainer.run(state, batches(), start_step=start)
+    state = trainer.run(state, batches(), start_step=start, final_save=False)
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+    trainer._ckpt.save(start + args.steps + 1, state)
     r = roofline(time_s=dt / max(args.steps, 1), flops=flops_per_step,
                  bytes_moved=2 * n_params * 2)
     print(f"{args.steps} steps in {dt:.2f}s — loss {trainer.report.last_loss:.4f}, "

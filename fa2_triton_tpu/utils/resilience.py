@@ -64,29 +64,42 @@ def make_guarded_step(step_fn: Callable) -> Callable:
 
 
 def devices_healthy(devices=None, timeout_s: float = 30.0) -> bool:
-    """Probe that every device executes and returns a trivial program
-    within `timeout_s` — a wedged/detached chip surfaces as False instead
-    of hanging a long training step (the probe runs in a daemon thread so
-    a hung runtime call cannot block the caller past the timeout)."""
-    import threading
+    """Probe that every device executes and returns a trivial program.
 
-    devices = devices if devices is not None else jax.devices()
-    result = {"ok": False}
-
-    def probe():
+    With `devices=None` the probe runs in a SUBPROCESS bounded by
+    `timeout_s`, so a wedged runtime surfaces as False instead of hanging
+    the caller (some TPU runtimes crash when driven from a non-main
+    thread, so a thread-based timeout is not safe). With explicit
+    `devices`, the probe runs inline against those device objects (no
+    timeout protection — they cannot cross a process boundary).
+    """
+    if devices is not None:
         try:
             for d in devices:
                 x = jax.device_put(jnp.ones((8, 128), jnp.float32), d)
                 if float(jnp.sum(x)) != 8 * 128:
-                    return
-            result["ok"] = True
+                    return False
+            return True
         except Exception:
-            pass
+            return False
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return result["ok"]
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "for d in jax.devices():\n"
+        "    x = jax.device_put(jnp.ones((8, 128), jnp.float32), d)\n"
+        "    assert float(jnp.sum(x)) == 8 * 128\n"
+        "print('HEALTHY')\n"
+    )
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return "HEALTHY" in out.stdout
+    except Exception:
+        return False
 
 
 @dataclass
@@ -122,7 +135,8 @@ class ResilientTrainer:
         self.report.resumed_from = latest
         return state, latest
 
-    def run(self, state: Any, batches, start_step: int = 0) -> Any:
+    def run(self, state: Any, batches, start_step: int = 0,
+            final_save: bool = True) -> Any:
         step = start_step
         oks, last_loss = [], None
         for batch in batches:
@@ -135,12 +149,16 @@ class ResilientTrainer:
             oks.append(ok)
             last_loss = loss
             if step % self._save_every == 0:
-                self._ckpt.save(step, state)
+                # Async save: the device->host transfer overlaps subsequent
+                # steps (arrays are immutable, so the state being replaced
+                # next step is safe to snapshot).
+                self._ckpt.save(step, state, wait=False)
         self.report.steps_skipped += int(
             sum(1 for ok in oks if not bool(ok)))
         if last_loss is not None:
             self.report.last_loss = float(last_loss)
-        self._ckpt.save(step, state)
+        if final_save:
+            self._ckpt.save(step, state)
         return state
 
     def close(self):

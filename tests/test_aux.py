@@ -96,7 +96,7 @@ def test_resilient_trainer_skips_nonfinite_and_resumes():
         ResilientTrainer, devices_healthy, make_guarded_step, tree_allfinite,
     )
 
-    assert devices_healthy()
+    assert devices_healthy(_jax.devices())
     assert bool(tree_allfinite({"a": _jnp.ones(3), "n": _jnp.arange(3)}))
     assert not bool(tree_allfinite({"a": _jnp.array([1.0, _jnp.nan])}))
 
