@@ -78,7 +78,9 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
             # (e.g. 3072 for seqlen 3000), so round down to a 128 multiple.
             bq_cand = max(128, min(1024, (512 * 4096) // bkv) // 128 * 128)
             bq = _waste_aware(seqlen_q, (bq_cand, 512, 256, 128))
-            if bkv <= 512:
+            # Sub-tile unrolling only pays off on wide KV strips; at
+            # (1024, 1024) it costs ~20% (v5e sweep: u1 142.6 vs u4 111.8).
+            if bkv < 2048:
                 unroll_kv = 1
     elif head_dim_padded <= 256:
         bq, bkv = 256, 512
