@@ -127,10 +127,18 @@ def _attention_block(
     return x + out, new_cache
 
 
-def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
+def _psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """Reduce a row-parallel partial product over the TP axis (Megatron
+    pattern: wo / w_down shard their INPUT dim, so local matmuls produce
+    partial sums). No-op outside shard_map."""
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig,
+               psum_axis: Optional[str] = None) -> jax.Array:
     h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     gated = jax.nn.silu(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
-    return x + _mm(gated, layer["w_down"])
+    return x + _psum(_mm(gated, layer["w_down"]), psum_axis)
 
 
 def default_attention(q, k, v, _kv_len):
@@ -198,9 +206,15 @@ def prefill_forward(
     tokens: jax.Array,         # [B, S_pad] int32, right-padded
     true_len: jax.Array,       # [B] int32
     cfg: LlamaConfig,
+    psum_axis: Optional[str] = None,
 ):
     """Prompt prefill: causal self-attention over the (padded) prompt.
-    Returns (logits [B, S_pad, V], per-layer (k, v) in BSHD) for cache fill."""
+    Returns (logits [B, S_pad, V], per-layer (k, v) in BSHD) for cache fill.
+
+    Under TP (inside shard_map, `psum_axis` set): cfg carries the LOCAL head
+    counts, q/k/v are head-sharded, and the wo / w_down partial products are
+    psum-reduced (the emitted k/v stay local — the KV cache is head-sharded
+    along the same axis)."""
     B, S = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
@@ -219,8 +233,11 @@ def prefill_forward(
             window_size=(cfg.sliding_window, 0) if cfg.sliding_window >= 0
             else (-1, -1),
         )
-        x = x + _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"])
-        x = _mlp_block(layer, x, cfg)
+        x = x + _psum(
+            _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"]),
+            psum_axis,
+        )
+        x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x, params["lm_head"]).astype(jnp.float32), kvs
 
@@ -232,10 +249,12 @@ def decode_step(
     caches,                   # runtime KV cache: list of layer dicts (BHSD)
     lens: jax.Array,          # [B] int32 — tokens already in each slot
     kv_cfg,                   # runtime.kv_cache.KVCacheConfig
+    psum_axis: Optional[str] = None,
 ):
     """One batched decode step over the serving KV cache (per-slot lengths,
     quantized storage, `ops/decode.py` kernel). Returns (logits [B, V],
-    new_caches)."""
+    new_caches). Under TP, cfg/kv_cfg carry LOCAL head counts and the
+    output projections psum over `psum_axis` (see prefill_forward)."""
     from fa2_triton_tpu.ops.decode import decode_attention
     from fa2_triton_tpu.runtime.kv_cache import write_kv
 
@@ -265,8 +284,11 @@ def decode_step(
             block_kv=kv_cfg.block_kv,
             window_left=cfg.sliding_window,
         )[:, :, :cfg.hd]
-        x = x + _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"])
-        x = _mlp_block(layer, x, cfg)
+        x = x + _psum(
+            _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"]),
+            psum_axis,
+        )
+        x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x[:, 0], params["lm_head"]).astype(jnp.float32), new_caches
 
@@ -325,10 +347,12 @@ def paged_decode_step(
     tables: jax.Array,        # [n_slots, max_pages] int32 block tables
     lens: jax.Array,          # [B] int32 — tokens already in each slot
     pcfg,                     # runtime.paged_cache.PagedCacheConfig
+    psum_axis: Optional[str] = None,
 ):
     """One batched decode step over the PAGED KV cache (vLLM-style block
     tables; `ops/decode.py:paged_decode_attention`). Returns
-    (logits [B, V], new_pools)."""
+    (logits [B, V], new_pools). Under TP the page pools are head-sharded
+    (block tables replicated) and cfg/pcfg carry LOCAL head counts."""
     from fa2_triton_tpu.ops.decode import paged_decode_attention
     from fa2_triton_tpu.runtime.paged_cache import write_tokens_paged
 
@@ -356,7 +380,10 @@ def paged_decode_step(
             softmax_scale=cfg.hd ** -0.5,
             window_left=cfg.sliding_window,
         )[:, :, :cfg.hd]
-        x = x + _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"])
-        x = _mlp_block(layer, x, cfg)
+        x = x + _psum(
+            _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"]),
+            psum_axis,
+        )
+        x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x[:, 0], params["lm_head"]).astype(jnp.float32), new_pools

@@ -81,8 +81,11 @@ def _attn_core_fwd(cfg: AttnConfig, q, k, v, bias, lens, scalars):
 
 def _attn_core_bwd(cfg: AttnConfig, res, cot):
     q, k, v, bias, lens, scalars, o, lse = res
-    do, _dlse = cot  # lse is an auxiliary output; its cotangent is ignored.
-    dq, dk, dv = flash_attn_backward(
+    # Both outputs are differentiated: do is the output cotangent, dlse the
+    # logsumexp cotangent (folded into the delta row statistic inside
+    # flash_attn_backward — the reference drops it, its LSE is test-only).
+    do, dlse = cot
+    grads = flash_attn_backward(
         q, k, v, do, o, lse, lens, scalars, bias,
         causal=cfg.causal,
         softmax_scale=cfg.softmax_scale,
@@ -96,10 +99,16 @@ def _attn_core_bwd(cfg: AttnConfig, res, cot):
         seqlen_k_real=cfg.seqlen_k_real,
         static_skip=cfg.static_skip,
         varlen=cfg.varlen,
+        dlse=dlse,
+        compute_dbias=bias is not None,
     )
-    # Like the reference (`src/wrapper.py:86` returns None for bias), the bias
-    # is NOT differentiated; a zero cotangent is returned.
-    dbias = None if bias is None else jnp.zeros_like(bias)
+    if bias is None:
+        dq, dk, dv = grads
+        dbias = None
+    else:
+        # Real bias gradient (the reference returns None at
+        # `src/wrapper.py:86`; a trainable bias there silently gets no grad).
+        dq, dk, dv, dbias = grads
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dbias, int_zero(lens), int_zero(scalars)
 
@@ -125,6 +134,7 @@ def flash_attn_func(
     softcap: float = 0.0,
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """FlashAttention-2 on TPU (Pallas), differentiable via `jax.custom_vjp`.
 
@@ -146,8 +156,14 @@ def flash_attn_func(
             `fa2_triton_tpu/utils/rng.py` for the oracle-replicable stream).
         causal: bottom-right-aligned causal masking.
         softmax_scale: defaults to 1/sqrt(head_dim).
-        dropout_seed: int seed for the dropout stream (defaults to 0; pass a
-            fresh seed per training step).
+        dropout_seed: int seed for the dropout stream. When dropout_p > 0,
+            exactly one of dropout_seed / dropout_rng must be given — the
+            reference draws a fresh random seed per call
+            (`src/utils.py:86`), which a pure function cannot, so silently
+            defaulting to a fixed seed (same mask every layer and step)
+            would be a correctness trap.
+        dropout_rng: alternatively, a `jax.random` key the seed is derived
+            from (fold a per-step/per-layer key in training loops).
         window_size: (left, right) sliding window, -1 = infinite.
         softcap: if > 0, scores are softcap * tanh(scores / softcap).
         block_sizes: optional BlockSizes override.
@@ -157,6 +173,17 @@ def flash_attn_func(
     Returns:
         output [batch, seqlen_q, num_heads_q, head_dim] (and lse if requested).
     """
+    out_dtype = q.dtype
+    if q.dtype == jnp.float16:
+        # Mosaic (the TPU kernel compiler) has no f16 type — the MXU is
+        # bf16-native — so fp16 I/O (which the reference's whole test grid
+        # uses, `/root/reference/tests/test_fwd_bwd.py:13`) is honored at
+        # the API boundary: compute in f32 (strictly more precise than
+        # fp16-native arithmetic, so the FA tolerance contract holds) and
+        # cast the output back. bf16 is the fast path on TPU.
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+        if attention_bias is not None and attention_bias.dtype == jnp.float16:
+            attention_bias = attention_bias.astype(jnp.float32)
     B, Sq, Hq, D = q.shape
     Bk, Sk, Hkv, Dk = k.shape
     assert D == Dk and v.shape == k.shape and Bk == B
@@ -179,10 +206,13 @@ def flash_attn_func(
 
     bias_p = None
     if attention_bias is not None:
+        # Keep the bias in its own dtype (the kernels upcast per tile); only
+        # the seq dims are materialized — batch/head broadcasting stays
+        # broadcast, and the dbias pass reduces back over those dims.
         bias_p = jnp.broadcast_to(
             attention_bias,
             (attention_bias.shape[0], attention_bias.shape[1], Sq, Sk),
-        ).astype(jnp.float32)
+        )
         bias_p = pad_to_multiple(pad_to_multiple(bias_p, pad_q, 2), pad_kv, 3)
 
     if attention_mask is not None:
@@ -190,7 +220,22 @@ def flash_attn_func(
         lens = jnp.stack([qlen, qlen], axis=-1)
     else:
         lens = jnp.broadcast_to(jnp.array([[Sq, Sk]], jnp.int32), (B, 2)).copy()
-    seed = dropout_seed if dropout_seed is not None else 0
+    if dropout_p > 0.0:
+        if dropout_seed is not None:
+            seed = dropout_seed
+        elif dropout_rng is not None:
+            seed = jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            )
+        else:
+            raise ValueError(
+                "dropout_p > 0 requires dropout_seed or dropout_rng: a pure "
+                "function cannot draw the reference's per-call random seed "
+                "(src/utils.py:86), and a silent fixed default would reuse "
+                "one dropout mask across every layer and step."
+            )
+    else:
+        seed = dropout_seed if dropout_seed is not None else 0
     scalars = jnp.array([[0, 0, 0, 0]], jnp.int32).at[0, 2].set(seed)
 
     cfg = AttnConfig(
@@ -208,7 +253,7 @@ def flash_attn_func(
         static_skip=True,
     )
     o, lse = _attn_core(cfg, qT, kT, vT, bias_p, lens, scalars)
-    out = jnp.transpose(o[:, :, :Sq, :D], (0, 2, 1, 3))
+    out = jnp.transpose(o[:, :, :Sq, :D], (0, 2, 1, 3)).astype(out_dtype)
     if return_lse:
         return out, lse[:, :, :Sq, 0]
     return out

@@ -52,9 +52,12 @@ def _recompute_p_and_ds(
 ):
     """Shared tile math for both backward passes.
 
-    Returns (p_drop, ds) where p_drop is the dropout-compensated probability
-    tile used for dV, and ds is the score gradient used for both dq and dk
-    (including d(score)/d(raw qk) for softcap and the softmax scale).
+    Returns (p_drop, ds, ds_pre) where p_drop is the dropout-compensated
+    probability tile used for dV, ds is the score gradient used for both dq
+    and dk (including d(score)/d(raw qk) for softcap), and ds_pre is the
+    cotangent of the post-softcap, post-bias score tile — i.e. exactly
+    d(loss)/d(bias) for that tile (the dbias pass consumes it; the softcap
+    tanh chain and the softmax scale do NOT apply to the bias addend).
 
     The softmax scale never multiplies a [block_q, block_kv] tile here: the
     s-recompute folds scale*log2(e) into the caller-prescaled q (dq pass) or
@@ -135,10 +138,12 @@ def _recompute_p_and_ds(
     else:
         p_drop = p
 
-    ds = p * (dp - delta_row)
+    ds_pre = p * (dp - delta_row)
     if softcap > 0.0:
-        ds = ds * (1.0 - (capped / softcap) ** 2)
-    return p_drop, ds
+        ds = ds_pre * (1.0 - (capped / softcap) ** 2)
+    else:
+        ds = ds_pre
+    return p_drop, ds, ds_pre
 
 
 def _dq_kernel(
@@ -152,6 +157,7 @@ def _dq_kernel(
     seqlen_q_real, seqlen_k_real, num_q_heads,
     last_kv_block_fn,
     need_edge_mask, need_diag_mask, unroll, split_diag,
+    varlen=False,
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
     q_len = lens_ref[b, 0]
@@ -164,12 +170,24 @@ def _dq_kernel(
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if last_kv_block_fn is not None:
+    # Varlen: per-batch length limits cut the KV loop short and dead q row
+    # blocks skip all compute (their dq rows are zero — padded cotangents).
+    if varlen:
+        vl_last = jnp.maximum((kv_len - kv_off - 1) // block_kv, 0)
+        if last_kv_block_fn is not None:
+            last_ik = jnp.minimum(last_kv_block_fn(iq), vl_last)
+        else:
+            last_ik = jnp.minimum(vl_last, num_kv_blocks - 1)
+        is_last = ik == last_ik
+        row_alive = q_off + iq * block_q < q_len
+    elif last_kv_block_fn is not None:
         last_ik = last_kv_block_fn(iq)
         is_last = ik == last_ik
+        row_alive = None
     else:
         last_ik = None
         is_last = ik == num_kv_blocks - 1
+        row_alive = None
 
     sub = block_kv // unroll
 
@@ -182,7 +200,7 @@ def _dq_kernel(
         for u in range(unroll):
             sl = slice(u * sub, (u + 1) * sub)
             k = k_ref[0, 0, sl]
-            _, ds = _recompute_p_and_ds(
+            _, ds, _ = _recompute_p_and_ds(
                 q_ref[0, 0], k, v_ref[0, 0, sl], do_ref[0, 0],
                 lse_row, delta_row,
                 scale=scale, causal=causal, window=window, softcap=softcap,
@@ -204,17 +222,21 @@ def _dq_kernel(
             )
         acc_scr[...] = acc
 
+    def _when(cond, fn):
+        pl.when(cond if row_alive is None
+                else jnp.logical_and(cond, row_alive))(fn)
+
     if last_ik is None:
         _compute()
     elif split_diag:
         # Full blocks are strictly below the diagonal (launcher-checked
         # alignment, exact shapes): completely mask-free body.
-        pl.when(ik < last_ik)(functools.partial(_compute, edge=False,
-                                                diag=False))
-        pl.when(ik == last_ik)(functools.partial(_compute, edge=False,
-                                                 diag=True))
+        _when(ik < last_ik, functools.partial(_compute, edge=False,
+                                              diag=False))
+        _when(ik == last_ik, functools.partial(_compute, edge=False,
+                                               diag=True))
     else:
-        pl.when(ik <= last_ik)(_compute)
+        _when(ik <= last_ik, _compute)
 
     @pl.when(is_last)
     def _finalize():
@@ -239,6 +261,7 @@ def _dkdv_kernel(
     seqlen_q_real, seqlen_k_real, num_q_heads,
     first_q_block_fn,
     need_edge_mask, need_diag_mask, unroll, split_diag,
+    varlen=False,
 ):
     b, hkv, ikv, e = (pl.program_id(i) for i in range(4))
     iq = e % num_q_blocks
@@ -255,6 +278,15 @@ def _dkdv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
+    # Varlen: dead kv column blocks and dead q row blocks contribute nothing
+    # (padded dk/dv rows stay zero from the scratch init).
+    alive = None
+    if varlen:
+        alive = jnp.logical_and(
+            kv_off + ikv * block_kv < kv_len,
+            q_off + iq * block_q < q_len,
+        )
+
     sub = block_q // unroll
 
     def _compute(edge=need_edge_mask, diag=need_diag_mask):
@@ -267,7 +299,7 @@ def _dkdv_kernel(
             # s-recompute's scale*log2e factor rides on the prescaled k.
             q = q_ref[0, 0, sl]
             do = do_ref[0, 0, sl]
-            p_drop, ds = _recompute_p_and_ds(
+            p_drop, ds, _ = _recompute_p_and_ds(
                 q, k_ref[0, 0], v_ref[0, 0], do,
                 lse_ref[0, 0, sl], delta_ref[0, 0, sl],
                 scale=scale, causal=causal, window=window, softcap=softcap,
@@ -295,19 +327,25 @@ def _dkdv_kernel(
         dv_scr[...] = dv_acc
         dk_scr[...] = dk_acc
 
+    def _when(cond, fn):
+        pl.when(cond if alive is None else jnp.logical_and(cond, alive))(fn)
+
     if first_q_block_fn is None:
-        _compute()
+        if alive is None:
+            _compute()
+        else:
+            pl.when(alive)(_compute)
     elif split_diag:
         # For a kv column block, the diagonal lives entirely in the FIRST
         # needed q block (launcher-checked alignment, exact shapes); later
         # q blocks are strictly below the diagonal: mask-free body.
         first_iq = first_q_block_fn(ikv)
-        pl.when(iq > first_iq)(functools.partial(_compute, edge=False,
-                                                 diag=False))
-        pl.when(iq == first_iq)(functools.partial(_compute, edge=False,
-                                                  diag=True))
+        _when(iq > first_iq, functools.partial(_compute, edge=False,
+                                               diag=False))
+        _when(iq == first_iq, functools.partial(_compute, edge=False,
+                                                diag=True))
     else:
-        pl.when(iq >= first_q_block_fn(ikv))(_compute)
+        _when(iq >= first_q_block_fn(ikv), _compute)
 
     @pl.when(e == group * num_q_blocks - 1)
     def _finalize():
@@ -323,6 +361,406 @@ def _dkdv_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
     return _dkdv_kernel(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
                         lse_ref, delta_ref, None, dk_ref, dv_ref,
                         dk_scr, dv_scr, **kw)
+
+
+def _bwd_fused_kernel(
+    lens_ref, scal_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dq_ref,
+    dk_scr, dv_scr, dq_scr,
+    *,
+    scale, causal, window, softcap, dropout_p,
+    block_q, block_kv, sub_kv, num_q_blocks, num_sub, group,
+    seqlen_q_real, seqlen_k_real, num_q_heads,
+    causal_skip,            # static: sub-tile skipping by the diagonal
+    shift_static,           # kv_len - q_len, trace-time (None if unknown)
+    need_edge_mask, need_diag_mask, unroll,
+    varlen=False,
+):
+    """Single-pass backward: dk/dv accumulate over the whole strip AND dq is
+    emitted in the same launch — 5 matmuls per tile (qk, dp, dv, dk, dq)
+    instead of the 7 the two-pass design recomputes (the qk and dp tiles are
+    shared). This is the shape of the reference's fused launch
+    (`/root/reference/src/backward/kernel.py:154-182`) re-idiomized: instead
+    of atomics, dq stays race-free because each (head, q block) owns its dq
+    tile — exactly one grid step writes it when the KV strip is a single
+    block (`nkv == 1`), and with several strips each writes its own f32
+    partial, summed by one XLA reduction.
+
+    Grid: (B, Hkv, nkv, group * nq, n_sub) — the innermost dimension walks
+    `sub_kv`-wide KV sub-tiles so causal row blocks skip strictly-future
+    sub-tiles (pl.when) at `sub_kv` granularity, while Mosaic pipelines the
+    K/V sub-tile DMAs against compute.
+    """
+    b, hkv, ikv, e, w = (pl.program_id(i) for i in range(5))
+    iq = e % num_q_blocks
+    g = e // num_q_blocks
+    h = hkv * group + g
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+
+    @pl.when(jnp.logical_and(e == 0, w == 0))
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(w == 0)
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    # Causal sub-tile plan: row block iq's last needed kv column is
+    # iq*bq + bq - 1 + shift; sub-tile w covers columns
+    # [ikv*bkv + w*sub, ...+sub). Skipping is exact (static shift).
+    if causal_skip:
+        last_col = iq * block_q + block_q - 1 + shift_static
+        w_col_lo = ikv * block_kv + w * sub_kv
+        needed = w_col_lo <= last_col
+        # Dq write step: the last needed sub-tile of this strip for this row.
+        last_w = jnp.clip((last_col - ikv * block_kv) // sub_kv, 0,
+                          num_sub - 1)
+    else:
+        needed = jnp.bool_(True)
+        last_w = num_sub - 1
+    if varlen:
+        # Per-batch limits: dead kv sub-tiles and dead q row blocks skip.
+        vl_last_w = jnp.clip(
+            (kv_len - kv_off - 1 - ikv * block_kv) // sub_kv, 0, num_sub - 1)
+        last_w = jnp.minimum(last_w, vl_last_w)
+        needed = jnp.logical_and(
+            needed,
+            jnp.logical_and(w <= vl_last_w,
+                            q_off + iq * block_q < q_len))
+
+    sub_q = block_q // unroll
+
+    @pl.when(needed)
+    def _compute():
+        k = k_ref[0, 0]          # (sub_kv, D), prescaled by scale*log2e
+        v = v_ref[0, 0]
+        for u in range(unroll):
+            sl = slice(u * sub_q, (u + 1) * sub_q)
+            q = q_ref[0, 0, sl]  # TRUE q (dk needs it; k carries the scale)
+            do = do_ref[0, 0, sl]
+            p_drop, ds, _ = _recompute_p_and_ds(
+                q, k, v, do,
+                lse_ref[0, 0, sl], delta_ref[0, 0, sl],
+                scale=scale, causal=causal, window=window, softcap=softcap,
+                dropout_p=dropout_p,
+                bias_blk=None,
+                row_lo=q_off + iq * block_q + u * sub_q,
+                col_lo=kv_off + ikv * block_kv + w * sub_kv,
+                q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+                block_q=sub_q, block_kv=sub_kv,
+                seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+                seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+                need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+            )
+            wsl = pl.ds(w * sub_kv, sub_kv)
+            dv_scr[wsl] += jax.lax.dot_general(
+                p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do),
+            )
+            dk_scr[wsl] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q),
+            )
+            dq_scr[sl] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k),
+            )
+
+    @pl.when(w == last_w)
+    def _write_dq():
+        # dq = scale * (ds @ k_true); the accumulator used the PRESCALED k
+        # (k * scale * log2e), so the finalizer factor is scale / (scale *
+        # log2e) = 1/log2e.
+        dq_ref[0, 0, 0] = (dq_scr[...] * (1.0 / LOG2E)).astype(dq_ref.dtype)
+
+    @pl.when(jnp.logical_and(e == group * num_q_blocks - 1, w == num_sub - 1))
+    def _write_dkdv():
+        dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dbias_kernel(
+    lens_ref, scal_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    dbias_ref,
+    acc_scr,
+    *,
+    scale, causal, window, softcap, dropout_p,
+    block_q, block_kv,
+    seqlen_q_real, seqlen_k_real, num_q_heads,
+    last_kv_block_fn,
+    need_edge_mask, need_diag_mask,
+    batch, heads, reduce_b, reduce_h, b_inner,
+):
+    """dbias = sum over broadcast dims of the post-softcap score cotangent.
+
+    The reference silently returns None for the bias gradient
+    (`/root/reference/src/wrapper.py:86`); here a dedicated reduction pass
+    makes trainable biases work. Grid is (nq, nkv, d3, d4) with the REDUCED
+    batch/head dims innermost, so the VMEM scratch accumulates over
+    consecutive grid steps and each output block is written exactly once.
+    """
+    iq, ik, i3, i4 = (pl.program_id(i) for i in range(4))
+    b, h = (i4, i3) if b_inner else (i3, i4)
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+
+    # First/last step of the reduced (b, h) sweep for this (iq, ik) block.
+    first = jnp.bool_(True)
+    last = jnp.bool_(True)
+    if reduce_b:
+        first = jnp.logical_and(first, b == 0)
+        last = jnp.logical_and(last, b == batch - 1)
+    if reduce_h:
+        first = jnp.logical_and(first, h == 0)
+        last = jnp.logical_and(last, h == heads - 1)
+
+    @pl.when(first)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    needed = (jnp.bool_(True) if last_kv_block_fn is None
+              else ik <= last_kv_block_fn(iq))
+
+    @pl.when(needed)
+    def _accumulate():
+        _, _, ds_pre = _recompute_p_and_ds(
+            q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
+            lse_ref[0, 0], delta_ref[0, 0],
+            scale=scale, causal=causal, window=window, softcap=softcap,
+            dropout_p=dropout_p,
+            bias_blk=bias_ref[0, 0].astype(jnp.float32),
+            row_lo=q_off + iq * block_q,
+            col_lo=kv_off + ik * block_kv,
+            q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+            block_q=block_q, block_kv=block_kv,
+            seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+            seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+            need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+        )
+        acc_scr[...] += ds_pre
+
+    @pl.when(last)
+    def _finalize():
+        dbias_ref[0, 0] = acc_scr[...].astype(dbias_ref.dtype)
+
+
+def flash_attn_dbias(
+    q_p, k, v, do, lse, delta,  # q_p prescaled by scale*log2e; BHSD padded
+    lens, scalars, bias,
+    *,
+    causal, softmax_scale, window=(-1, -1), softcap=0.0, dropout_p=0.0,
+    block_q=256, block_kv=256,
+    seqlen_q_real=None, seqlen_k_real=None, static_skip=False, varlen=False,
+    interpret=False,
+):
+    """Bias gradient in the bias' own (broadcast) shape [Bb, Hb, Sq, Sk]."""
+    B, Hq, Sq, D = q_p.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    nq, nkv = Sq // block_q, Sk // block_kv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    Bb, Hb = bias.shape[0], bias.shape[1]
+    reduce_b, reduce_h = (Bb == 1 and B > 1), (Hb == 1 and Hq > 1)
+    # Reduced dims go innermost; when only batch reduces, swap so it is.
+    b_inner = reduce_b and not reduce_h
+    d3, d4 = (Hq, B) if b_inner else (B, Hq)
+
+    need_edge_mask = varlen or sq_real < Sq or sk_real < Sk
+    need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
+    last_kv_fn = None
+    if causal and static_skip:
+        shift_static = sk_real - sq_real
+
+        def last_kv_fn(iq):
+            last_col = iq * block_q + block_q - 1 + shift_static
+            return jnp.clip(last_col // block_kv, 0, nkv - 1)
+
+    def _bh(i3, i4):
+        return (i4, i3) if b_inner else (i3, i4)
+
+    def q_index(iq, ik, i3, i4):
+        b, h = _bh(i3, i4)
+        return (b, h, iq, 0)
+
+    def kv_index(iq, ik, i3, i4):
+        b, h = _bh(i3, i4)
+        if last_kv_fn is not None:
+            ik = jnp.minimum(ik, last_kv_fn(iq))
+        return (b, h // group, ik, 0)
+
+    def bias_index(iq, ik, i3, i4):
+        b, h = _bh(i3, i4)
+        if last_kv_fn is not None:
+            ik = jnp.minimum(ik, last_kv_fn(iq))
+        return (b if Bb != 1 else 0, h if Hb != 1 else 0, iq, ik)
+
+    def out_index(iq, ik, i3, i4):
+        b, h = _bh(i3, i4)
+        return (b if Bb != 1 else 0, h if Hb != 1 else 0, iq, ik)
+
+    dbias = pl.pallas_call(
+        functools.partial(
+            _dbias_kernel,
+            scale=softmax_scale, causal=causal, window=window,
+            softcap=softcap, dropout_p=dropout_p,
+            block_q=block_q, block_kv=block_kv,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+            last_kv_block_fn=last_kv_fn,
+            need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+            batch=B, heads=Hq, reduce_b=reduce_b, reduce_h=reduce_h,
+            b_inner=b_inner,
+        ),
+        grid=(nq, nkv, d3, d4),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((1, 1, block_q, block_kv), bias_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, block_kv), out_index),
+        out_shape=jax.ShapeDtypeStruct((Bb, Hb, Sq, Sk), bias.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, block_kv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q_p, k, v, do, lse, delta, bias)
+    return dbias
+
+
+def flash_attn_backward_fused(
+    q, k, v, do, o, lse,        # BHSD padded; lse [B, Hq, Sq, 1] f32 (base-2)
+    lens, scalars,
+    *,
+    causal: bool,
+    softmax_scale: float,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    block_q: int = 512,
+    block_kv: int = 4096,
+    sub_kv: int = 512,
+    unroll: int = 2,
+    seqlen_q_real: Optional[int] = None,
+    seqlen_k_real: Optional[int] = None,
+    static_skip: bool = False,
+    varlen: bool = False,
+    dlse: Optional[jax.Array] = None,
+    debug_interpret: Optional[bool] = None,
+):
+    """Single-launch backward (see `_bwd_fused_kernel`). No bias support —
+    bias cases route through the two-pass kernels (which also emit dbias)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    assert Sq % block_q == 0 and Sk % block_kv == 0 and block_kv % sub_kv == 0
+    group = Hq // Hkv
+    nq, nkv, nsub = Sq // block_q, Sk // block_kv, block_kv // sub_kv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    need_edge_mask = varlen or sq_real < Sq or sk_real < Sk
+    need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
+
+    unroll_q = max(1, unroll)
+    while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
+        unroll_q -= 1
+
+    # k carries scale*log2e (the s-recompute needs the fold; dk needs TRUE q,
+    # dq divides the fold back out in its finalizer).
+    k_p = (k.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(k.dtype)
+
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if dlse is not None:
+        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+
+    causal_skip = causal and static_skip
+    shift_static = (sk_real - sq_real) if causal_skip else None
+
+    def q_index(b, hkv, ikv, e, w):
+        return (b, hkv * group + e // nq, e % nq, 0)
+
+    def kv_index(b, hkv, ikv, e, w):
+        return (b, hkv, ikv * nsub + w, 0)
+
+    def dkdv_index(b, hkv, ikv, e, w):
+        return (b, hkv, ikv, 0)
+
+    def dq_index(b, hkv, ikv, e, w):
+        return (ikv, b, hkv * group + e // nq, e % nq, 0)
+
+    # With one KV strip the partial IS dq (write in q.dtype, no reduction);
+    # with several, f32 partials are summed by one fused XLA reduction.
+    dq_dtype = q.dtype if nkv == 1 else jnp.float32
+    dk, dv, dq_part = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel,
+            scale=softmax_scale, causal=causal, window=window,
+            softcap=softcap, dropout_p=dropout_p,
+            block_q=block_q, block_kv=block_kv, sub_kv=sub_kv,
+            num_q_blocks=nq, num_sub=nsub, group=group,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+            causal_skip=causal_skip, shift_static=shift_static,
+            need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+            unroll=unroll_q, varlen=varlen,
+        ),
+        grid=(B, Hkv, nkv, group * nq, nsub),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
+            pl.BlockSpec((1, 1, sub_kv, D), kv_index),
+            pl.BlockSpec((1, 1, sub_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
+            pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
+            pl.BlockSpec((1, 1, 1, block_q, D), dq_index),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+            jax.ShapeDtypeStruct((nkv, B, Hq, Sq, D), dq_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k_p, v, do, lse, delta)
+
+    dq = dq_part[0] if nkv == 1 else jnp.sum(dq_part, axis=0).astype(q.dtype)
+    return dq, dk, dv
 
 
 def flash_attn_backward(
@@ -341,9 +779,21 @@ def flash_attn_backward(
     seqlen_k_real: Optional[int] = None,
     static_skip: bool = False,
     varlen: bool = False,
+    dlse: Optional[jax.Array] = None,   # cotangent of the base-2 LSE output
+    compute_dbias: bool = False,
     debug_interpret: Optional[bool] = None,
 ):
-    """Returns (dq, dk, dv) in input dtypes, deterministic by construction."""
+    """Returns (dq, dk, dv) in input dtypes, deterministic by construction.
+
+    `dlse` propagates the logsumexp cotangent: with L the natural-log LSE and
+    lse2 = L*log2e the emitted value, d(loss)/ds_ij picks up an extra
+    p_ij * dL_i term, so the whole contribution folds into the delta row
+    statistic: delta_eff = rowsum(o*do) - dlse*log2e (the reference drops
+    this gradient entirely — its LSE output is test-only).
+
+    `compute_dbias=True` (requires bias) appends the bias gradient in the
+    bias' own broadcast shape: (dq, dk, dv, dbias).
+    """
     B, Hq, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     assert Sq % block_q == 0 and Sk % block_kv == 0
@@ -382,6 +832,11 @@ def flash_attn_backward(
     # XLA reduction, no dedicated kernel needed on TPU.
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
                     keepdims=True)
+    if dlse is not None:
+        # Dead rows carry lse == -inf; their (zero) cotangent must not poison
+        # delta with inf/nan, so gate on finiteness of both.
+        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
 
     last_kv_fn = None
     first_q_fn = None
@@ -411,6 +866,7 @@ def flash_attn_backward(
         dropout_p=dropout_p, block_q=block_q, block_kv=block_kv,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+        varlen=varlen,
     )
 
     # ---------------- dq pass: grid (B, Hq, nq, nkv) ----------------------
@@ -535,4 +991,15 @@ def flash_attn_backward(
         interpret=interpret,
     )(*dkdv_args)
 
+    if compute_dbias:
+        assert bias is not None, "compute_dbias requires a bias"
+        dbias = flash_attn_dbias(
+            q_p, k, v, do, lse, delta, lens, scalars, bias,
+            causal=causal, softmax_scale=softmax_scale, window=window,
+            softcap=softcap, dropout_p=dropout_p,
+            block_q=block_q, block_kv=block_kv,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+            static_skip=static_skip, varlen=varlen, interpret=interpret,
+        )
+        return dq, dk, dv, dbias
     return dq, dk, dv

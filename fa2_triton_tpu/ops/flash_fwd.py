@@ -103,12 +103,29 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if last_kv_block_fn is not None:
+    # Last KV block this (batch, q-block) actually needs: the static causal
+    # diagonal limit AND (varlen) the per-batch length limit — blocks past it
+    # are neither DMA'd (the index maps clamp, so no new block is fetched)
+    # nor computed. Matches the reference's per-program early exit
+    # (`/root/reference/src/forward/kernel.py:105-112`) without divergence.
+    if varlen:
+        vl_last = jnp.maximum((kv_len - kv_off - 1) // block_kv, 0)
+        if last_kv_block_fn is not None:
+            last_ik = jnp.minimum(last_kv_block_fn(iq), vl_last)
+        else:
+            last_ik = jnp.minimum(vl_last, num_kv_blocks - 1)
+        is_last = ik == last_ik
+        # Fully-dead q row blocks (every row beyond the true length) skip all
+        # compute; the finalizer zero-fills from the untouched init state.
+        row_alive = q_off + iq * block_q < q_len
+    elif last_kv_block_fn is not None:
         last_ik = last_kv_block_fn(iq)
         is_last = ik == last_ik
+        row_alive = None
     else:
         last_ik = None
         is_last = ik == num_kv_blocks - 1
+        row_alive = None
 
     # ---- static masking plan ----------------------------------------------
     # lax.cond on a per-block "needs masking" predicate costs ~45% of kernel
@@ -261,6 +278,10 @@ def _fwd_kernel(
         lse = jnp.where(valid, lse, -jnp.inf)
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
+    def _when(cond, fn):
+        pl.when(cond if row_alive is None
+                else jnp.logical_and(cond, row_alive))(fn)
+
     if last_ik is None:
         _compute()
     elif split_diag:
@@ -270,15 +291,24 @@ def _fwd_kernel(
         # selects — the diagonal block alone pays for masking. The diagonal
         # mask there also subsumes column-validity masking (valid rows only
         # attend to cols <= row + shift < kv_len; dead rows are overwritten
-        # by the finalizer).
-        pl.when(ik < last_ik)(
-            functools.partial(_compute, need_col_mask=False,
-                              need_diag_mask=False))
-        pl.when(ik == last_ik)(
-            functools.partial(_compute, need_col_mask=False,
-                              need_diag_mask=True))
+        # by the finalizer). Under varlen the same holds per batch: blocks
+        # at or below the (shift == 0) diagonal limit contain only valid
+        # columns for valid rows.
+        _when(ik < last_ik,
+              functools.partial(_compute, need_col_mask=False,
+                                need_diag_mask=False))
+        _when(ik == last_ik,
+              functools.partial(_compute, need_col_mask=False,
+                                need_diag_mask=True))
+    elif varlen and not need_diag_mask:
+        # Non-causal varlen: only the per-batch LAST block can contain
+        # invalid columns; earlier blocks run mask-free.
+        _when(ik < last_ik,
+              functools.partial(_compute, need_col_mask=False,
+                                need_diag_mask=False))
+        _when(ik == last_ik, _compute)
     else:
-        pl.when(ik <= last_ik)(_compute)
+        _when(ik <= last_ik, _compute)
 
     @pl.when(is_last)
     def _finalize():
@@ -366,27 +396,48 @@ def flash_attn_forward(
             and shift_static % block_q == 0
         )
 
-    def kv_index(b, h, iq, ik):
+    # KV index clamp: combines the static causal-diagonal limit with the
+    # per-batch dynamic length limit (varlen — index maps read the
+    # scalar-prefetched lens/scalars), so skipped blocks re-address the last
+    # needed block and no new DMA is issued.
+    def _clamp_ik(ik, iq, b, lens_ref=None, scal_ref=None):
         if last_kv_fn is not None:
             ik = jnp.minimum(ik, last_kv_fn(iq))
-        return (b, h // group, ik, 0)
+        if lens_ref is not None:
+            vl_last = jnp.maximum(
+                (lens_ref[b, 1] - scal_ref[0, 1] - 1) // block_kv, 0)
+            ik = jnp.minimum(ik, vl_last)
+        return ik
+
+    if varlen:
+        def kv_index(b, h, iq, ik, lens_ref, scal_ref):
+            return (b, h // group, _clamp_ik(ik, iq, b, lens_ref, scal_ref), 0)
+
+        def q_index(b, h, iq, ik, lens_ref, scal_ref):
+            return (b, h, iq, 0)
+    else:
+        def kv_index(b, h, iq, ik):
+            return (b, h // group, _clamp_ik(ik, iq, b), 0)
+
+        def q_index(b, h, iq, ik):
+            return (b, h, iq, 0)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # lens
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_q, D), q_index),
         pl.BlockSpec((1, 1, block_kv, D), kv_index),
         pl.BlockSpec((1, 1, block_kv, D), kv_index),
     ]
-    args = [lens, scalars, q, k, v]
+    args = [q, k, v]
     if bias is not None:
         Bb, Hb = bias.shape[0], bias.shape[1]
 
-        def bias_index(b, h, iq, ik, _Bb=Bb, _Hb=Hb):
-            if last_kv_fn is not None:
-                ik = jnp.minimum(ik, last_kv_fn(iq))
+        def _bias_index(b, h, iq, ik, lens_ref=None, scal_ref=None,
+                        _Bb=Bb, _Hb=Hb):
+            ik = _clamp_ik(ik, iq, b, lens_ref, scal_ref)
             return (b if _Bb != 1 else 0, h if _Hb != 1 else 0, iq, ik)
 
+        bias_index = _bias_index if varlen else (
+            lambda b, h, iq, ik: _bias_index(b, h, iq, ik))
         in_specs.append(pl.BlockSpec((1, 1, block_q, block_kv), bias_index))
         args.append(bias)
         kernel_fn = _fwd_kernel
@@ -420,24 +471,46 @@ def flash_attn_forward(
         jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_q, D), q_index),
+        pl.BlockSpec((1, 1, block_q, 1), q_index),
     )
+    scratch_shapes = [
+        pltpu.VMEM((block_q, LANES), jnp.float32),
+        pltpu.VMEM((block_q, LANES), jnp.float32),
+        pltpu.VMEM((block_q, D), jnp.float32),
+    ]
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
-    o, lse = pl.pallas_call(
-        kernel,
-        grid=(B, Hq, nq, nkv),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*args)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+    if varlen:
+        # lens/scalars ride as scalar-prefetch args so the index maps above
+        # can clamp block indices per batch.
+        o, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, Hq, nq, nkv),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shapes,
+            compiler_params=params,
+            interpret=interpret,
+        )(lens, scalars, *args)
+    else:
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=(B, Hq, nq, nkv),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # lens
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+            ] + in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            compiler_params=params,
+            interpret=interpret,
+        )(lens, scalars, *args)
     return o, lse

@@ -34,6 +34,33 @@ def make_mesh(
     return Mesh(arr, (AXIS_DATA, AXIS_MODEL, AXIS_SEQ))
 
 
+_TP_TABLE = {
+    "wq": P(None, AXIS_MODEL),
+    "wk": P(None, AXIS_MODEL),
+    "wv": P(None, AXIS_MODEL),
+    "wo": P(AXIS_MODEL, None),
+    "w_gate": P(None, AXIS_MODEL),
+    "w_up": P(None, AXIS_MODEL),
+    "w_down": P(AXIS_MODEL, None),
+    "embed": P(None, None),
+}
+
+
+def _spec_from_path(path, table) -> P:
+    """Spec for a leaf; quantized weights ({'qvalues','qscale'} sub-dicts,
+    `ops/quant.py`) inherit the parent weight's spec — qvalues shard like the
+    weight, the [1, out] qscale row shards only along the output dim."""
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    name = names[-1]
+    if name in ("qvalues", "qscale") and len(names) >= 2:
+        wspec = table.get(names[-2], P())
+        if name == "qvalues":
+            return wspec
+        out_axis = wspec[1] if len(wspec) > 1 else None
+        return P(None, out_axis)
+    return table.get(name, P())
+
+
 def param_pspecs(params) -> dict:
     """PartitionSpecs for the LLaMA param pytree: TP over heads/hidden.
 
@@ -41,26 +68,24 @@ def param_pspecs(params) -> dict:
     w_gate/w_up shard hidden; w_down shards input hidden; embeddings/norms
     replicated.
     """
-    def spec_for(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        table = {
-            "wq": P(None, AXIS_MODEL),
-            "wk": P(None, AXIS_MODEL),
-            "wv": P(None, AXIS_MODEL),
-            "wo": P(AXIS_MODEL, None),
-            "w_gate": P(None, AXIS_MODEL),
-            "w_up": P(None, AXIS_MODEL),
-            "w_down": P(AXIS_MODEL, None),
-            "embed": P(None, None),
-            "lm_head": P(None, AXIS_MODEL),
-        }
-        return table.get(name, P())
-
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    table = dict(_TP_TABLE, lm_head=P(None, AXIS_MODEL))
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_from_path(path, table), params
+    )
 
 
-def shard_params(params, mesh: Mesh):
-    specs = param_pspecs(params)
+def serving_param_pspecs(params) -> dict:
+    """TP specs for INFERENCE (the serving Engine): like `param_pspecs`, but
+    lm_head is replicated — greedy decode argmaxes over the full vocab row on
+    every shard, so logits come out replicated with no gather."""
+    table = dict(_TP_TABLE, lm_head=P(None, None))
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_from_path(path, table), params
+    )
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    specs = param_pspecs(params) if specs is None else specs
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

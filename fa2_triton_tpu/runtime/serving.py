@@ -11,6 +11,7 @@ slots step harmlessly and are ignored). Greedy sampling; tokens/s metrics.
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -19,6 +20,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fa2_triton_tpu.models.llama import (
     LlamaConfig, decode_step, prefill_forward,
@@ -59,11 +61,40 @@ class Engine:
         eos_id: Optional[int] = None,
         paged: bool = False,
         n_pages: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
         self.paged = paged
+        # ---- tensor parallelism over the `model` (head) axis -------------
+        # BASELINE's scaling target (>= 80% tokens/s 1 -> 2 hosts) needs the
+        # serving path itself sharded: every per-step device function runs
+        # under shard_map with head-sharded weights and KV caches, psum on
+        # the row-parallel projections (`models/llama.py:_psum`), replicated
+        # logits/argmax. The host-side scheduler is unchanged.
+        self.mesh = mesh
+        self.tp = 1
+        self._psum_axis = None
+        if mesh is not None:
+            from fa2_triton_tpu.parallel.mesh import AXIS_MODEL
+
+            self.tp = int(mesh.shape[AXIS_MODEL])
+            extra = 1
+            for name, size in mesh.shape.items():
+                if name != AXIS_MODEL:
+                    extra *= size
+            assert extra == 1, "serving mesh must only have the model axis"
+            assert cfg.n_heads % self.tp == 0 and cfg.n_kv_heads % self.tp == 0
+            self._psum_axis = AXIS_MODEL if self.tp > 1 else None
+        self.cfg_local = (
+            dataclasses.replace(
+                cfg, n_heads=cfg.n_heads // self.tp,
+                n_kv_heads=cfg.n_kv_heads // self.tp,
+                head_dim=cfg.hd,
+            )
+            if self.tp > 1 else cfg
+        )
         if paged:
             from fa2_triton_tpu.runtime.paged_cache import (
                 PagedCacheConfig, PagedKVCache,
@@ -95,6 +126,30 @@ class Engine:
         self._max_seq_padded = (
             self.kv_cfg.max_seq if paged else self.kv_cfg.max_seq_padded
         )
+        # Local (per-shard) cache config + sharded params/caches. Cache
+        # leaves are [slots|pages, Hkv, ...]: heads shard on axis 1; scales
+        # ([.., Hkv, 1, S]) shard the same axis.
+        self.kv_cfg_local = (
+            dataclasses.replace(self.kv_cfg,
+                                n_kv_heads=self.kv_cfg.n_kv_heads // self.tp)
+            if self.tp > 1 else self.kv_cfg
+        )
+        if self.tp > 1:
+            from fa2_triton_tpu.parallel.mesh import serving_param_pspecs
+
+            self._pspecs = serving_param_pspecs(params)
+            self._cache_spec_leaf = P(None, "model", None, None)
+            self.params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                params, self._pspecs,
+            )
+            shard_cache = lambda t: jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, self._cache_spec_leaf)), t)
+            if paged:
+                self.pcache.pools = shard_cache(self.pcache.pools)
+            else:
+                self.caches = shard_cache(self.caches)
         # Host-side lens mirror: the engine already knows every slot's
         # length exactly, so scheduling reads host memory (a device read
         # through the axon tunnel costs ~25 ms per sync and was the serving
@@ -109,17 +164,26 @@ class Engine:
         # params ride as a jit ARGUMENT (not a closure constant — closed-over
         # params would be baked into the HLO as literals, ballooning the
         # program past remote-compile limits).
-        if paged:
-            self._decode = jax.jit(self._decode_impl_paged, donate_argnums=(2,))
-        else:
-            self._decode = jax.jit(self._decode_impl, donate_argnums=(2,))
+        decode_fn = self._decode_impl_paged if paged else self._decode_impl
+        if self.tp > 1:
+            n_extra = 2 if paged else 1  # (pools, tables) vs (caches)
+            cspec = jax.tree.map(lambda _: self._cache_spec_leaf,
+                                 self.pcache.pools if paged else self.caches)
+            in_specs = (self._pspecs, P(), cspec) + (P(),) * n_extra
+            decode_fn = jax.shard_map(
+                decode_fn, mesh=self.mesh,
+                in_specs=in_specs, out_specs=(P(), cspec),
+                check_vma=False,
+            )
+        self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---------------- jitted device functions ---------------------------
 
     def _decode_impl(self, params, tokens, caches, lens):
         logits, caches = decode_step(
-            params, tokens, self.cfg, caches, lens, self.kv_cfg
+            params, tokens, self.cfg_local, caches, lens, self.kv_cfg_local,
+            psum_axis=self._psum_axis,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
 
@@ -127,8 +191,8 @@ class Engine:
         from fa2_triton_tpu.models.llama import paged_decode_step
 
         logits, pools = paged_decode_step(
-            params, tokens, self.cfg, pools, tables, lens,
-            self.pcache.cfg,
+            params, tokens, self.cfg_local, pools, tables, lens,
+            self.kv_cfg_local, psum_axis=self._psum_axis,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
 
@@ -138,34 +202,54 @@ class Engine:
                 from fa2_triton_tpu.runtime.paged_cache import write_tokens_paged
 
                 def _prefill(params, tokens, true_len, pools, tables, slot):
-                    logits, kvs = prefill_forward(params, tokens, true_len, self.cfg)
+                    logits, kvs = prefill_forward(
+                        params, tokens, true_len, self.cfg_local,
+                        psum_axis=self._psum_axis,
+                    )
                     # Write the whole padded prompt through the slot's block
                     # table; per-slot lengths hide padded tail positions.
                     table_row = jax.lax.dynamic_slice_in_dim(tables, slot, 1, 0)
                     new_pools = [
                         write_tokens_paged(pool, table_row, k, v,
                                            jnp.zeros((1,), jnp.int32),
-                                           self.pcache.cfg)
+                                           self.kv_cfg_local)
                         for pool, (k, v) in zip(pools, kvs)
                     ]
                     next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
                     return next_tok, new_pools
             else:
                 def _prefill(params, tokens, true_len, caches, slot):
-                    logits, kvs = prefill_forward(params, tokens, true_len, self.cfg)
+                    logits, kvs = prefill_forward(
+                        params, tokens, true_len, self.cfg_local,
+                        psum_axis=self._psum_axis,
+                    )
                     new_caches = []
                     for cache, (k, v) in zip(caches, kvs):
                         # Write the whole padded prompt into the slot's row; the
                         # per-slot length keeps padded tail positions invisible.
                         upd = write_kv(
                             cache_slice(cache, slot), k, v,
-                            jnp.zeros((1,), jnp.int32), self.kv_cfg,
+                            jnp.zeros((1,), jnp.int32), self.kv_cfg_local,
                         )
                         new_caches.append(cache_write_back(cache, upd, slot))
                     next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
                     return next_tok, new_caches
 
-            self._prefill_cache[s_pad] = jax.jit(_prefill, donate_argnums=(3,))
+            fn = _prefill
+            if self.tp > 1:
+                cspec = jax.tree.map(
+                    lambda _: self._cache_spec_leaf,
+                    self.pcache.pools if self.paged else self.caches,
+                )
+                in_specs = (
+                    (self._pspecs, P(), P(), cspec, P(), P()) if self.paged
+                    else (self._pspecs, P(), P(), cspec, P())
+                )
+                fn = jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=(P(), cspec), check_vma=False,
+                )
+            self._prefill_cache[s_pad] = jax.jit(fn, donate_argnums=(3,))
         return self._prefill_cache[s_pad]
 
     # ---------------- scheduling ----------------------------------------

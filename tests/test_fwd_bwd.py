@@ -24,7 +24,19 @@ SEQLEN_PAIRS = [
 
 HEAD_DIMS = [32, 40, 64, 111, 128] + ([207, 256] if FULL else [])
 HEADS = [(8, 2), (9, 9)] + ([(8, 1)] if FULL else [])
-DTYPES = ([jnp.float32] if FULL else [])
+DTYPES = ([jnp.float32, jnp.float16] if FULL else [])
+
+
+# fp16 parity: the reference's whole grid runs fp16 (`tests/test_fwd_bwd.py:13`
+# there); bf16 is the right TPU default but fp16 I/O must work and stay pinned.
+@pytest.mark.parametrize("causal", [False, True])
+def test_fp16(causal):
+    run_attention_case(2, 4, 2, 255, 255, 64, causal=causal, dtype=jnp.float16)
+
+
+def test_fp16_mask_gqa():
+    run_attention_case(2, 8, 2, 128, 128, 128, causal=True,
+                       use_attention_mask=True, dtype=jnp.float16)
 
 
 @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
