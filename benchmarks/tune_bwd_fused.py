@@ -85,12 +85,16 @@ def main():
                 if bkv % sub:
                     continue
                 for u in (1, 2):
-                    def fused(q, k, v, do, o, lse, bq=bq, bkv=bkv, sub=sub, u=u):
-                        return flash_attn_backward_fused(
-                            q, k, v, do, o, lse, lens, scalars,
-                            block_q=bq, block_kv=bkv, sub_kv=sub, unroll=u,
-                            **common)
-                    report(f"fused bq={bq} bkv={bkv} sub={sub} u={u}", fused)
+                    for zz in ((False, True) if causal and bkv == S
+                               else (False,)):
+                        def fused(q, k, v, do, o, lse, bq=bq, bkv=bkv,
+                                  sub=sub, u=u, zz=zz):
+                            return flash_attn_backward_fused(
+                                q, k, v, do, o, lse, lens, scalars,
+                                block_q=bq, block_kv=bkv, sub_kv=sub,
+                                unroll=u, zigzag=zz, **common)
+                        report(f"fused bq={bq} bkv={bkv} sub={sub} u={u}"
+                               + (" ZZ" if zz else ""), fused)
 
 
 if __name__ == "__main__":

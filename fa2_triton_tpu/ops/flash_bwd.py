@@ -49,6 +49,8 @@ def _recompute_p_and_ds(
     block_q, block_kv,
     seed, b, h, num_q_heads, seqlen_q_real, seqlen_k_real,
     need_edge_mask, need_diag_mask,
+    tri_blk=None,           # additive 0/MASK_LOG2 triangle replacing the
+                            # diag mask on aligned zigzag diag tiles
 ):
     """Shared tile math for both backward passes.
 
@@ -87,6 +89,11 @@ def _recompute_p_and_ds(
         s2 = s_nat * LOG2E
     else:
         capped = None
+
+    if tri_blk is not None:
+        # One VPU add; exp2(s2 - huge) underflows to exactly 0, matching the
+        # select-based mask chain.
+        s2 = s2 + tri_blk
 
     keep = None
     if need_edge_mask or need_diag_mask:
@@ -376,6 +383,10 @@ def _bwd_fused_kernel(
     shift_static,           # kv_len - q_len, trace-time (None if unknown)
     need_edge_mask, need_diag_mask, unroll,
     varlen=False,
+    zigzag=False,           # causal single-strip: dense row-pair schedule
+    num_w_steps=0,          # size of the step grid dim (nsteps or num_sub)
+    tri_ref=None,           # (1, 1, block_q, sub_kv) const triangle for the
+                            # aligned zigzag diag tile (see flash_fwd)
 ):
     """Single-pass backward: dk/dv accumulate over the whole strip AND dq is
     emitted in the same launch — 5 matmuls per tile (qk, dp, dv, dk, dq)
@@ -391,53 +402,88 @@ def _bwd_fused_kernel(
     `sub_kv`-wide KV sub-tiles so causal row blocks skip strictly-future
     sub-tiles (pl.when) at `sub_kv` granularity, while Mosaic pipelines the
     K/V sub-tile DMAs against compute.
+
+    `zigzag` (causal, single KV strip): the q-block dimension enumerates
+    (group, row-PAIR) instead and the step dimension walks first row p's
+    sub-tiles, then row nq-1-p's — a dense grid with no idle causal steps
+    (same schedule as the forward's zigzag; see `flash_fwd._fwd_kernel`).
     """
     b, hkv, ikv, e, w = (pl.program_id(i) for i in range(5))
-    iq = e % num_q_blocks
-    g = e // num_q_blocks
-    h = hkv * group + g
     q_len = lens_ref[b, 0]
     kv_len = lens_ref[b, 1]
     q_off = scal_ref[0, 0]
     kv_off = scal_ref[0, 1]
     seed = scal_ref[0, 2]
 
+    if zigzag:
+        npairs = (num_q_blocks + 1) // 2
+        pq = e % npairs
+        g = e // npairs
+        h = hkv * group + g
+
+        def _wa(i):
+            return jnp.clip((i * block_q + block_q - 1 + shift_static)
+                            // sub_kv, 0, num_sub - 1)
+
+        iq_a, iq_b = pq, num_q_blocks - 1 - pq
+        wa_a, wa_b = _wa(iq_a), _wa(iq_b)
+        is_a = w <= wa_a
+        iq = jnp.where(is_a, iq_a, iq_b)
+        w_eff = jnp.clip(jnp.where(is_a, w, w - wa_a - 1), 0, num_sub - 1)
+        wa_eff = jnp.where(is_a, wa_a, wa_b)
+        not_mid = jnp.logical_or(is_a, iq_a != iq_b)
+        needed = jnp.logical_and(w_eff <= wa_eff, not_mid)
+        init_dq = jnp.logical_or(w == 0, w == wa_a + 1)
+        # Nominal last step of the active row (varlen-cut rows keep their
+        # scratch unchanged through trailing skipped steps).
+        write_dq = jnp.logical_and(
+            jnp.where(is_a, w == wa_a, w == wa_a + 1 + wa_b), not_mid)
+        num_e = group * npairs
+    else:
+        iq = e % num_q_blocks
+        g = e // num_q_blocks
+        h = hkv * group + g
+        w_eff = w
+        init_dq = w == 0
+        num_e = group * num_q_blocks
+        # Causal sub-tile plan: row block iq's last needed kv column is
+        # iq*bq + bq - 1 + shift; sub-tile w covers columns
+        # [ikv*bkv + w*sub, ...+sub). Skipping is exact (static shift).
+        if causal_skip:
+            last_col = iq * block_q + block_q - 1 + shift_static
+            w_col_lo = ikv * block_kv + w * sub_kv
+            needed = w_col_lo <= last_col
+            # Dq write: the last needed sub-tile of this strip for this row.
+            last_w = jnp.clip((last_col - ikv * block_kv) // sub_kv, 0,
+                              num_sub - 1)
+        else:
+            needed = jnp.bool_(True)
+            last_w = num_sub - 1
+        write_dq = w == last_w
+
+    if varlen:
+        # Per-batch limits: dead kv sub-tiles and dead q row blocks skip.
+        vl_last_w = jnp.clip(
+            (kv_len - kv_off - 1 - ikv * block_kv) // sub_kv, 0, num_sub - 1)
+        needed = jnp.logical_and(
+            needed,
+            jnp.logical_and(w_eff <= vl_last_w,
+                            q_off + iq * block_q < q_len))
+        if not zigzag:
+            write_dq = w == jnp.minimum(last_w, vl_last_w)
+
     @pl.when(jnp.logical_and(e == 0, w == 0))
     def _init_kv():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    @pl.when(w == 0)
+    @pl.when(init_dq)
     def _init_dq():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    # Causal sub-tile plan: row block iq's last needed kv column is
-    # iq*bq + bq - 1 + shift; sub-tile w covers columns
-    # [ikv*bkv + w*sub, ...+sub). Skipping is exact (static shift).
-    if causal_skip:
-        last_col = iq * block_q + block_q - 1 + shift_static
-        w_col_lo = ikv * block_kv + w * sub_kv
-        needed = w_col_lo <= last_col
-        # Dq write step: the last needed sub-tile of this strip for this row.
-        last_w = jnp.clip((last_col - ikv * block_kv) // sub_kv, 0,
-                          num_sub - 1)
-    else:
-        needed = jnp.bool_(True)
-        last_w = num_sub - 1
-    if varlen:
-        # Per-batch limits: dead kv sub-tiles and dead q row blocks skip.
-        vl_last_w = jnp.clip(
-            (kv_len - kv_off - 1 - ikv * block_kv) // sub_kv, 0, num_sub - 1)
-        last_w = jnp.minimum(last_w, vl_last_w)
-        needed = jnp.logical_and(
-            needed,
-            jnp.logical_and(w <= vl_last_w,
-                            q_off + iq * block_q < q_len))
-
     sub_q = block_q // unroll
 
-    @pl.when(needed)
-    def _compute():
+    def _compute(edge=need_edge_mask, diag=need_diag_mask, tri=False):
         k = k_ref[0, 0]          # (sub_kv, D), prescaled by scale*log2e
         v = v_ref[0, 0]
         for u in range(unroll):
@@ -451,14 +497,16 @@ def _bwd_fused_kernel(
                 dropout_p=dropout_p,
                 bias_blk=None,
                 row_lo=q_off + iq * block_q + u * sub_q,
-                col_lo=kv_off + ikv * block_kv + w * sub_kv,
+                col_lo=kv_off + ikv * block_kv + w_eff * sub_kv,
                 q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
                 block_q=sub_q, block_kv=sub_kv,
                 seed=seed, b=b, h=h, num_q_heads=num_q_heads,
                 seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
-                need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
+                need_edge_mask=edge, need_diag_mask=diag,
+                tri_blk=(tri_ref[0, 0, sl].astype(jnp.float32)
+                         if tri else None),
             )
-            wsl = pl.ds(w * sub_kv, sub_kv)
+            wsl = pl.ds(w_eff * sub_kv, sub_kv)
             dv_scr[wsl] += jax.lax.dot_general(
                 p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -475,14 +523,30 @@ def _bwd_fused_kernel(
                 precision=dot_precision(k),
             )
 
-    @pl.when(w == last_w)
+    if zigzag:
+        # Two-body split: tiles strictly below the block's FIRST row run
+        # without the diag mask. Edge masks stay on whenever padded/varlen
+        # rows exist (a dead row has lse == -inf; without its mask chain
+        # p would overflow to inf and poison dk/dv).
+        fully_below = (w_eff + 1) * sub_kv - 1 <= iq * block_q + shift_static
+        diag_body = (functools.partial(_compute, diag=False, tri=True)
+                     if tri_ref is not None
+                     else functools.partial(_compute, diag=True))
+        pl.when(jnp.logical_and(needed, fully_below))(
+            functools.partial(_compute, diag=False))
+        pl.when(jnp.logical_and(needed, jnp.logical_not(fully_below)))(
+            diag_body)
+    else:
+        pl.when(needed)(_compute)
+
+    @pl.when(write_dq)
     def _write_dq():
         # dq = scale * (ds @ k_true); the accumulator used the PRESCALED k
         # (k * scale * log2e), so the finalizer factor is scale / (scale *
         # log2e) = 1/log2e.
         dq_ref[0, 0, 0] = (dq_scr[...] * (1.0 / LOG2E)).astype(dq_ref.dtype)
 
-    @pl.when(jnp.logical_and(e == group * num_q_blocks - 1, w == num_sub - 1))
+    @pl.when(jnp.logical_and(e == num_e - 1, w == num_w_steps - 1))
     def _write_dkdv():
         dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -555,6 +619,15 @@ def _dbias_kernel(
     @pl.when(last)
     def _finalize():
         dbias_ref[0, 0] = acc_scr[...].astype(dbias_ref.dtype)
+
+
+def _bwd_fused_kernel_tri(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, tri,
+                          dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr,
+                          **kw):
+    return _bwd_fused_kernel(
+        lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+        dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr, tri_ref=tri, **kw)
 
 
 def flash_attn_dbias(
@@ -666,6 +739,7 @@ def flash_attn_backward_fused(
     static_skip: bool = False,
     varlen: bool = False,
     dlse: Optional[jax.Array] = None,
+    zigzag: Optional[bool] = None,
     debug_interpret: Optional[bool] = None,
 ):
     """Single-launch backward (see `_bwd_fused_kernel`). No bias support —
@@ -698,25 +772,87 @@ def flash_attn_backward_fused(
 
     causal_skip = causal and static_skip
     shift_static = (sk_real - sq_real) if causal_skip else None
+    use_zigzag = (
+        zigzag if zigzag is not None
+        else (causal_skip and nkv == 1 and window == (-1, -1) and nq >= 2)
+    )
 
-    def q_index(b, hkv, ikv, e, w):
-        return (b, hkv * group + e // nq, e % nq, 0)
+    if use_zigzag:
+        npairs = (nq + 1) // 2
 
-    def kv_index(b, hkv, ikv, e, w):
-        return (b, hkv, ikv * nsub + w, 0)
+        def _wa_py(i):
+            return min(max((i * block_q + block_q - 1 + shift_static)
+                           // sub_kv, 0), nsub - 1)
+
+        nsteps = max(
+            _wa_py(p) + 1
+            + (0 if p == nq - 1 - p else _wa_py(nq - 1 - p) + 1)
+            for p in range(npairs)
+        )
+
+        def _zz(e, w):
+            pq = e % npairs
+            g = e // npairs
+            iq_a, iq_b = pq, nq - 1 - pq
+            wa_a = jnp.clip(
+                (iq_a * block_q + block_q - 1 + shift_static) // sub_kv,
+                0, nsub - 1)
+            is_a = w <= wa_a
+            iq = jnp.where(is_a, iq_a, iq_b)
+            w_eff = jnp.clip(jnp.where(is_a, w, w - wa_a - 1), 0, nsub - 1)
+            return g, iq, w_eff
+
+        def q_index(b, hkv, ikv, e, w):
+            g, iq, _ = _zz(e, w)
+            return (b, hkv * group + g, iq, 0)
+
+        def kv_index(b, hkv, ikv, e, w):
+            _, _, w_eff = _zz(e, w)
+            return (b, hkv, ikv * nsub + w_eff, 0)
+
+        def dq_index(b, hkv, ikv, e, w):
+            g, iq, _ = _zz(e, w)
+            return (ikv, b, hkv * group + g, iq, 0)
+
+        e_size, w_size = group * npairs, nsteps
+    else:
+        def q_index(b, hkv, ikv, e, w):
+            return (b, hkv * group + e // nq, e % nq, 0)
+
+        def kv_index(b, hkv, ikv, e, w):
+            return (b, hkv, ikv * nsub + w, 0)
+
+        def dq_index(b, hkv, ikv, e, w):
+            return (ikv, b, hkv * group + e // nq, e % nq, 0)
+
+        e_size, w_size = group * nq, nsub
 
     def dkdv_index(b, hkv, ikv, e, w):
         return (b, hkv, ikv, 0)
 
-    def dq_index(b, hkv, ikv, e, w):
-        return (ikv, b, hkv * group + e // nq, e % nq, 0)
+    # Aligned zigzag: the diag tile's mask is one constant triangle (see
+    # flash_fwd.make_tri_mask) — only exact when the kv sub-tile equals the
+    # q block and wa() never clips.
+    in_specs_extra = []
+    args_extra = []
+    kernel_fn = _bwd_fused_kernel
+    if (use_zigzag and sub_kv == block_q
+            and shift_static % sub_kv == 0 and shift_static >= 0
+            and Sq + shift_static <= Sk):
+        from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
+
+        in_specs_extra = [pl.BlockSpec(
+            (1, 1, block_q, sub_kv),
+            lambda b, hkv, ikv, e, w: (0, 0, 0, 0))]
+        args_extra = [make_tri_mask(block_q, sub_kv)]
+        kernel_fn = _bwd_fused_kernel_tri
 
     # With one KV strip the partial IS dq (write in q.dtype, no reduction);
     # with several, f32 partials are summed by one fused XLA reduction.
     dq_dtype = q.dtype if nkv == 1 else jnp.float32
     dk, dv, dq_part = pl.pallas_call(
         functools.partial(
-            _bwd_fused_kernel,
+            kernel_fn,
             scale=softmax_scale, causal=causal, window=window,
             softcap=softcap, dropout_p=dropout_p,
             block_q=block_q, block_kv=block_kv, sub_kv=sub_kv,
@@ -725,8 +861,9 @@ def flash_attn_backward_fused(
             causal_skip=causal_skip, shift_static=shift_static,
             need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
             unroll=unroll_q, varlen=varlen,
+            zigzag=use_zigzag, num_w_steps=w_size,
         ),
-        grid=(B, Hkv, nkv, group * nq, nsub),
+        grid=(B, Hkv, nkv, e_size, w_size),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -736,7 +873,7 @@ def flash_attn_backward_fused(
             pl.BlockSpec((1, 1, block_q, D), q_index),
             pl.BlockSpec((1, 1, block_q, 1), q_index),
             pl.BlockSpec((1, 1, block_q, 1), q_index),
-        ],
+        ] + in_specs_extra,
         out_specs=(
             pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
             pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
@@ -757,7 +894,7 @@ def flash_attn_backward_fused(
                                  "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, scalars, q, k_p, v, do, lse, delta)
+    )(lens, scalars, q, k_p, v, do, lse, delta, *args_extra)
 
     dq = dq_part[0] if nkv == 1 else jnp.sum(dq_part, axis=0).astype(q.dtype)
     return dq, dk, dv
@@ -781,6 +918,7 @@ def flash_attn_backward(
     varlen: bool = False,
     dlse: Optional[jax.Array] = None,   # cotangent of the base-2 LSE output
     compute_dbias: bool = False,
+    fused: Optional[bool] = None,
     debug_interpret: Optional[bool] = None,
 ):
     """Returns (dq, dk, dv) in input dtypes, deterministic by construction.
@@ -793,9 +931,28 @@ def flash_attn_backward(
 
     `compute_dbias=True` (requires bias) appends the bias gradient in the
     bias' own broadcast shape: (dq, dk, dv, dbias).
+
+    No-bias cases route to the fused single-launch kernel when the tuning
+    table has a config for the shape (`ops/tuning.py:choose_fused_bwd`);
+    set fused=False to force the two-pass kernels.
     """
     B, Hq, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
+    if bias is None and fused is not False:
+        from fa2_triton_tpu.ops.tuning import choose_fused_bwd
+
+        cfg_f = choose_fused_bwd(Sq, Sk, D, causal)
+        if cfg_f is not None:
+            bq_f, bkv_f, sub_f, u_f = cfg_f
+            return flash_attn_backward_fused(
+                q, k, v, do, o, lse, lens, scalars,
+                causal=causal, softmax_scale=softmax_scale, window=window,
+                softcap=softcap, dropout_p=dropout_p,
+                block_q=bq_f, block_kv=bkv_f, sub_kv=sub_f, unroll=u_f,
+                seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+                static_skip=static_skip, varlen=varlen, dlse=dlse,
+                debug_interpret=debug_interpret,
+            )
     assert Sq % block_q == 0 and Sk % block_kv == 0
     group = Hq // Hkv
     nq, nkv = Sq // block_q, Sk // block_kv

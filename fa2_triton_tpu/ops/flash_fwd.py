@@ -85,8 +85,40 @@ def _fwd_kernel(
     unroll: int,        # KV sub-tiles per block with independent MXU chains
     split_diag: bool,   # causal: only the last KV block of a row intersects
                         # the diagonal -> full blocks run a mask-free body
+    zigzag: bool = False,   # causal: grid is (B, H, row-PAIR, step); see below
+    num_q_blocks: int = 0,  # nq (zigzag only)
+    shift_static: int = 0,  # sk_real - sq_real (zigzag only; must be >= 0)
+    tri_ref=None,           # (1, 1, bq, bkv) additive 0/MASK_LOG2 const: the
+                            # zigzag diag tile's mask at aligned blocks
+                            # (bq == bkv, shift % bq == 0) is the SAME
+                            # lower triangle every time — one VPU add
+                            # replaces iota+compare+select (~4 passes)
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
+    # ---- zigzag causal schedule -------------------------------------------
+    # A rectangular (row block, kv block) grid wastes nearly half its steps
+    # on causal masks: early rows need one KV block, late rows need them
+    # all. Pairing row p with row nq-1-p makes every pair need a CONSTANT
+    # ~nkv+1 KV blocks, so the grid (B, H, pairs, steps) has (almost) no
+    # idle steps: within a pair, steps 0..wa(p) walk row p's KV blocks, the
+    # remaining steps walk row nq-1-p's. The online-softmax scratch state is
+    # re-initialized at each row's first step and each row finalizes on its
+    # last step (the output BlockSpec index switches with the active row).
+    if zigzag:
+        pq, w = iq, ik
+        nq = num_q_blocks
+
+        def _wa(i):  # last kv block row block i needs (static shift)
+            return jnp.clip((i * block_q + block_q - 1 + shift_static)
+                            // block_kv, 0, num_kv_blocks - 1)
+
+        iq_a = pq
+        iq_b = nq - 1 - pq
+        wa_a, wa_b = _wa(iq_a), _wa(iq_b)
+        is_a = w <= wa_a
+        iq = jnp.where(is_a, iq_a, iq_b)
+        ik = jnp.where(is_a, w, w - wa_a - 1)
+        wa_eff = jnp.where(is_a, wa_a, wa_b)
     q_len = lens_ref[b, 0]
     kv_len = lens_ref[b, 1]
     q_off = scal_ref[0, 0]
@@ -97,7 +129,10 @@ def _fwd_kernel(
     # machine entirely measured 6% SLOWER on v5e (139.6 vs 148.9 TFLOP/s at
     # S=4096 bkv=4096) — the scratch RMW apparently gives Mosaic's scheduler
     # useful slack — so the state machine runs unconditionally.
-    @pl.when(ik == 0)
+    init_cond = (jnp.logical_or(w == 0, w == wa_a + 1) if zigzag
+                 else ik == 0)
+
+    @pl.when(init_cond)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, MASK_LOG2)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -108,7 +143,25 @@ def _fwd_kernel(
     # are neither DMA'd (the index maps clamp, so no new block is fetched)
     # nor computed. Matches the reference's per-program early exit
     # (`/root/reference/src/forward/kernel.py:105-112`) without divergence.
-    if varlen:
+    if zigzag:
+        # needed: within the active row's diagonal limit, minus the middle
+        # pair's duplicate b-role (odd nq: iq_a == iq_b) and the trailing
+        # idle steps of short pairs; varlen adds the per-batch length cuts.
+        not_mid_dup = jnp.logical_or(is_a, iq_a != iq_b)
+        needed = jnp.logical_and(ik <= wa_eff, not_mid_dup)
+        if varlen:
+            vl_last = jnp.maximum((kv_len - kv_off - 1) // block_kv, 0)
+            needed = jnp.logical_and(needed, ik <= vl_last)
+            needed = jnp.logical_and(needed, q_off + iq * block_q < q_len)
+        # Finalize on the active row's NOMINAL last step (static diagonal
+        # limit): varlen-cut rows computed nothing in the trailing steps, so
+        # the scratch still holds their state; fully-dead rows finalize the
+        # freshly-initialized state into the zero-fill convention.
+        is_last = jnp.logical_and(
+            jnp.where(is_a, w == wa_a, w == wa_a + 1 + wa_b), not_mid_dup)
+        last_ik = None
+        row_alive = None
+    elif varlen:
         vl_last = jnp.maximum((kv_len - kv_off - 1) // block_kv, 0)
         if last_kv_block_fn is not None:
             last_ik = jnp.minimum(last_kv_block_fn(iq), vl_last)
@@ -190,7 +243,12 @@ def _fwd_kernel(
             else:
                 s2 = s * (scale * LOG2E)
 
-            if need_col_mask or need_diag_mask:
+            if tri_ref is not None and need_diag_mask and not need_col_mask:
+                # Constant-triangle diag mask (see tri_ref doc above); the
+                # huge negative addend absorbs s2 exactly like the select.
+                s2 = s2 + tri_ref[0, 0, :, u * sub:(u + 1) * sub].astype(
+                    jnp.float32)
+            elif need_col_mask or need_diag_mask:
                 col_g = col_lo + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, sub), 1
                 )
@@ -282,7 +340,19 @@ def _fwd_kernel(
         pl.when(cond if row_alive is None
                 else jnp.logical_and(cond, row_alive))(fn)
 
-    if last_ik is None:
+    if zigzag:
+        # A tile strictly below the FIRST row's diagonal is mask-free for
+        # every row in the block (any bq/bkv combination); later needed
+        # tiles intersect the diagonal and the diag mask subsumes column
+        # validity (cols <= row + shift < kv_len for valid rows).
+        fully_below = (ik + 1) * block_kv - 1 <= iq * block_q + shift_static
+        _when(jnp.logical_and(needed, fully_below),
+              functools.partial(_compute, need_col_mask=False,
+                                need_diag_mask=False))
+        _when(jnp.logical_and(needed, jnp.logical_not(fully_below)),
+              functools.partial(_compute, need_col_mask=False,
+                                need_diag_mask=True))
+    elif last_ik is None:
         _compute()
     elif split_diag:
         # The causal diagonal lives entirely in each row block's LAST needed
@@ -321,6 +391,21 @@ def _fwd_kernel_nobias(lens_ref, scal_ref, q_ref, k_ref, v_ref,
                        o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw)
 
 
+def _fwd_kernel_tri(lens_ref, scal_ref, q_ref, k_ref, v_ref, tri,
+                    o_ref, lse_ref, m_scr, l_scr, acc_scr, **kw):
+    return _fwd_kernel(lens_ref, scal_ref, q_ref, k_ref, v_ref, None,
+                       o_ref, lse_ref, m_scr, l_scr, acc_scr, tri_ref=tri,
+                       **kw)
+
+
+def make_tri_mask(block_q: int, block_kv: int) -> jax.Array:
+    """Additive lower-triangle tile: 0 where col <= row, MASK_LOG2 above."""
+    row = jnp.arange(block_q, dtype=jnp.int32).reshape(-1, 1)
+    col = jnp.arange(block_kv, dtype=jnp.int32)
+    return jnp.where(col <= row, 0.0, MASK_LOG2).astype(
+        jnp.bfloat16).reshape(1, 1, block_q, block_kv)
+
+
 def flash_attn_forward(
     q: jax.Array,               # [B, Hq, Sq, D]  BHSD, padded to blocks/lanes
     k: jax.Array,               # [B, Hkv, Sk, D]
@@ -342,6 +427,7 @@ def flash_attn_forward(
     static_skip: bool = False,
     varlen: bool = False,
     q_prescaled: bool = False,
+    zigzag: Optional[bool] = None,
     debug_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Launch the forward kernel on BHSD tensors already padded to blocks.
@@ -373,13 +459,60 @@ def flash_attn_forward(
     if not q_prescaled:
         q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
 
+    # Zigzag causal schedule (see `_fwd_kernel`): row-block pairs make the
+    # grid dense — no idle steps, no half-masked wide strips. Sound whenever
+    # the causal shift is static (same condition as static skipping).
+    use_zigzag = (
+        zigzag if zigzag is not None
+        else (causal and static_skip and window == (-1, -1)
+              and bias is None and nq >= 2)
+    )
+    if use_zigzag:
+        assert causal and static_skip and window == (-1, -1) and bias is None
+        shift_zz = sk_real - sq_real
+
+        def _wa_py(i):
+            return min(max((i * block_q + block_q - 1 + shift_zz)
+                           // block_kv, 0), nkv - 1)
+
+        npairs = (nq + 1) // 2
+        nsteps = max(
+            _wa_py(p) + 1
+            + (0 if p == nq - 1 - p else _wa_py(nq - 1 - p) + 1)
+            for p in range(npairs)
+        )
+
+        def _zz(pq, w):
+            iq_a = pq
+            iq_b = nq - 1 - pq
+            wa_a = jnp.clip(
+                (iq_a * block_q + block_q - 1 + shift_zz) // block_kv,
+                0, nkv - 1)
+            is_a = w <= wa_a
+            iq_eff = jnp.where(is_a, iq_a, iq_b)
+            ik_eff = jnp.clip(jnp.where(is_a, w, w - wa_a - 1), 0, nkv - 1)
+            return iq_eff, ik_eff
+
+        if varlen:
+            def zz_q_index(b, h, pq, w, lens_ref, scal_ref):
+                return (b, h, _zz(pq, w)[0], 0)
+
+            def zz_kv_index(b, h, pq, w, lens_ref, scal_ref):
+                return (b, h // group, _zz(pq, w)[1], 0)
+        else:
+            def zz_q_index(b, h, pq, w):
+                return (b, h, _zz(pq, w)[0], 0)
+
+            def zz_kv_index(b, h, pq, w):
+                return (b, h // group, _zz(pq, w)[1], 0)
+
     # Static causal skipping is sound when the causal shift is known at trace
     # time: without a padding mask it's sk_real - sq_real; with a (shared
     # q=kv) padding mask the per-batch shift is exactly 0 and sq_real ==
     # sk_real. The caller asserts this via `static_skip`.
     last_kv_fn = None
     split_diag = False
-    if causal and static_skip:
+    if causal and static_skip and not use_zigzag:
         shift_static = sk_real - sq_real
 
         def last_kv_fn(iq):
@@ -422,6 +555,9 @@ def flash_attn_forward(
         def q_index(b, h, iq, ik):
             return (b, h, iq, 0)
 
+    if use_zigzag:
+        q_index, kv_index = zz_q_index, zz_kv_index
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, D), q_index),
         pl.BlockSpec((1, 1, block_kv, D), kv_index),
@@ -441,6 +577,19 @@ def flash_attn_forward(
         in_specs.append(pl.BlockSpec((1, 1, block_q, block_kv), bias_index))
         args.append(bias)
         kernel_fn = _fwd_kernel
+    elif (use_zigzag and block_q == block_kv
+          and (sk_real - sq_real) % block_q == 0
+          # wa() must never clip (a clipped tile's offset is nonzero, so the
+          # constant triangle would be the wrong mask): shift >= 0 rules out
+          # the lower clip, Sq + shift <= Sk the upper one.
+          and sk_real >= sq_real
+          and Sq + (sk_real - sq_real) <= Sk):
+        # Aligned zigzag: the diag tile's mask is one constant triangle.
+        tri_index = ((lambda b, h, pq, w, lens_ref, scal_ref: (0, 0, 0, 0))
+                     if varlen else (lambda b, h, pq, w: (0, 0, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, block_q, block_kv), tri_index))
+        args.append(make_tri_mask(block_q, block_kv))
+        kernel_fn = _fwd_kernel_tri
     else:
         kernel_fn = _fwd_kernel_nobias
 
@@ -462,7 +611,11 @@ def flash_attn_forward(
         prescaled=True,
         unroll=unroll,
         split_diag=split_diag,
+        zigzag=use_zigzag,
+        num_q_blocks=nq,
+        shift_static=(sk_real - sq_real) if use_zigzag else 0,
     )
+    grid = (B, Hq, npairs, nsteps) if use_zigzag else (B, Hq, nq, nkv)
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
@@ -490,7 +643,7 @@ def flash_attn_forward(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(B, Hq, nq, nkv),
+                grid=grid,
                 in_specs=in_specs,
                 out_specs=out_specs,
                 scratch_shapes=scratch_shapes,
@@ -502,7 +655,7 @@ def flash_attn_forward(
     else:
         o, lse = pl.pallas_call(
             kernel,
-            grid=(B, Hq, nq, nkv),
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # lens
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars

@@ -105,6 +105,35 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
                       unroll_bwd=1 if causal else 2)
 
 
+def choose_fused_bwd(seqlen_q_pad: int, seqlen_k_pad: int,
+                     head_dim_padded: int, causal: bool):
+    """Config for the fused single-launch backward, or None to use the
+    two-pass kernels. Values from the v5e sweeps (benchmarks/tune_bwd_fused.py,
+    B=4 H=32 D=128 bf16): non-causal S=4096 -> (512, 4096, 1024, u2) 157
+    TFLOP/s bwd-only (two-pass: 120); S=8192 -> 155-161 with 2-4 KV strips
+    (dq partials are cheap); causal uses the zigzag schedule (auto in the
+    launcher) with the same tiling.
+
+    Returns (block_q, block_kv, sub_kv, unroll) or None.
+    """
+    if head_dim_padded > 128:
+        return None  # unswept; dk/dv scratch budget differs
+    # KV strip: whole sequence when it fits the f32 dk/dv scratch budget
+    # (2 * bkv * 128 * 4B <= 4MB), else the largest dividing strip.
+    if seqlen_k_pad <= 4096:
+        bkv = seqlen_k_pad
+    else:
+        bkv = next((c for c in (4096, 2048, 1024) if seqlen_k_pad % c == 0),
+                   None)
+        if bkv is None:
+            return None
+    sub = next((c for c in (1024, 512, 256, 128) if bkv % c == 0), None)
+    bq = next((c for c in (512, 256, 128) if seqlen_q_pad % c == 0), None)
+    if sub is None or bq is None:
+        return None
+    return bq, bkv, sub, 2
+
+
 def _compatible(b_fwd: int, b_bwd: int) -> int:
     """Ensure min(fwd, bwd) divides max(fwd, bwd); fall back to b_fwd."""
     lo, hi = min(b_fwd, b_bwd), max(b_fwd, b_bwd)

@@ -12,10 +12,17 @@ contract): each chunk returns a normalized output plus base-2 LSE, and
     acc' = acc * exp2(m - m') + o_c * exp2(lse_c - m')
     l'   = l   * exp2(m - m') +        exp2(lse_c - m')
 
-recovers the exact full-sequence softmax. Causal masking stays correct
-because the kernel takes global (q_offset, kv_offset) positions, and
-strictly-future chunks are skipped with lax.cond (their ppermute still runs,
-keeping the ring in lockstep).
+recovers the exact full-sequence softmax.
+
+Causal load balance — the ZIGZAG layout: with contiguous shards, device 0
+computes 1 chunk while device n-1 computes n (the ring's wall-clock is the
+slowest device). Instead the sequence is split into 2n chunks and device i
+holds the PAIR (i, 2n-1-i): of the four (q-half, kv-half) chunk pairs per
+hop, almost exactly two are causally needed on every device at every step —
+constant work, ~2x faster causal rings. Diagonal chunk pairs run the
+kernel's static causal fast path (equal offsets => static shift 0, zigzag
+schedule + constant-triangle mask); strictly-past pairs run completely
+mask-free with causal=False.
 
 Backward (training): once the forward has the GLOBAL base-2 LSE per query
 row, the FA2 recompute decomposes per chunk pair, so
@@ -26,9 +33,15 @@ row, the FA2 recompute decomposes per chunk pair, so
     dk/dv, and after n hops the accumulators arrive home complete —
     deterministic, no collective reductions beyond the ppermute ring.
 
-Constraint: the local shard length must be a multiple of 128 (true for any
-power-of-two ring over a lane-aligned global sequence) so padded rows never
-alias the next shard's global positions.
+The LSE output is differentiable: its cotangent folds into every chunk's
+delta statistic (see `flash_attn_backward(dlse=...)`), and dropout /
+sliding windows thread through to the kernels on global positions (the
+dropout counter stream is identical to the single-device kernel's, so a
+ring forward is bitwise-reproducible against one chip).
+
+Constraint: the local shard must split into two lane-aligned zigzag chunks
+(S_local % 256 == 0 for the causal zigzag layout; S_local % 128 == 0 for
+non-causal rings).
 """
 from __future__ import annotations
 
@@ -57,6 +70,11 @@ class RingConfig:
     axis_name: str
     causal: bool
     softmax_scale: Optional[float]
+    window: Tuple[int, int] = (-1, -1)
+    dropout_p: float = 0.0
+    # Zigzag chunk layout (causal only): device i holds chunks (i, 2n-1-i)
+    # of 2n; the host-side make_ring_attention permutes/unpermutes.
+    zigzag: bool = False
 
 
 def _merge(m, l, acc, o_c, lse_c):
@@ -76,98 +94,193 @@ def _from_bhsd(x):
     return jnp.transpose(x, (0, 2, 1, 3))
 
 
-def _scalars(q_off, kv_off):
-    return jnp.concatenate(
-        [q_off.reshape(1, 1), kv_off.reshape(1, 1), jnp.zeros((1, 2), jnp.int32)],
-        axis=1,
-    ).astype(jnp.int32)
+def _scalars(q_off, kv_off, seed):
+    return jnp.stack(
+        [q_off.astype(jnp.int32), kv_off.astype(jnp.int32),
+         jnp.int32(seed), jnp.int32(0)]
+    ).reshape(1, 4)
 
 
-def _ring_forward_impl(cfg: RingConfig, q, k, v):
+def zigzag_permute(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
+    """Reorder a global sequence so a contiguous `seq`-sharding gives device
+    i the chunk pair (i, 2n-1-i) of 2n equal chunks."""
+    S = x.shape[axis]
+    assert S % (2 * n) == 0, f"seqlen {S} must divide into 2*{n} chunks"
+    chunks = jnp.split(x, 2 * n, axis=axis)
+    out = []
+    for i in range(n):
+        out += [chunks[i], chunks[2 * n - 1 - i]]
+    return jnp.concatenate(out, axis=axis)
+
+
+def zigzag_unpermute(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
+    S = x.shape[axis]
+    parts = jnp.split(x, 2 * n, axis=axis)
+    out = [None] * (2 * n)
+    for i in range(n):
+        out[i] = parts[2 * i]
+        out[2 * n - 1 - i] = parts[2 * i + 1]
+    return jnp.concatenate(out, axis=axis)
+
+
+def _chunk_call_fwd(cfg, scale, seed, S_tot, qT, k_c, v_c, q_off, kv_off,
+                    diag: bool):
+    """One (q-half, kv-half) kernel call; returns (o_c, lse_c).
+
+    diag=True: equal global offsets — static shift-0 causal fast path
+    (zigzag schedule + const triangle). diag=False under causality means
+    the kv chunk is strictly in the past: completely mask-free.
+    """
+    B = qT.shape[0]
+    S_loc = qT.shape[2]
+    Dp = qT.shape[3]
+    blocks = choose_block_sizes(S_loc, S_loc, Dp, causal=diag and cfg.causal)
+    lens = jnp.broadcast_to(jnp.array([[S_tot, S_tot]], jnp.int32), (B, 2))
+    general_window = cfg.window != (-1, -1)
+    if general_window:
+        # Window masks need true relative positions; dynamic offsets rule
+        # out the static fast paths but keep full correctness.
+        causal, static_skip = cfg.causal, False
+    elif diag and cfg.causal:
+        causal, static_skip = True, True
+    else:
+        causal, static_skip = False, False
+    return flash_attn_forward(
+        qT, k_c, v_c, lens, _scalars(q_off, kv_off, seed), None,
+        causal=causal, softmax_scale=scale, window=cfg.window,
+        dropout_p=cfg.dropout_p,
+        block_q=min(blocks.block_q, S_loc),
+        block_kv=min(blocks.block_kv, S_loc),
+        unroll_kv=blocks.unroll_kv,
+        # Global extents even on the static path: the dropout counter
+        # stream and mask positions are global; the static causal shift is
+        # S_tot - S_tot == 0 either way.
+        seqlen_q_real=S_tot, seqlen_k_real=S_tot,
+        static_skip=static_skip, varlen=False, q_prescaled=True,
+    )
+
+
+def _needed(cfg, q_chunk, kv_chunk, C, n):
+    """Is chunk pair (q_chunk, kv_chunk) inside the mask band?"""
+    need = jnp.bool_(True)
+    if cfg.causal:
+        need = kv_chunk <= q_chunk
+    if cfg.window[0] >= 0:
+        # kv chunk ends before the window's left edge -> skip.
+        need = jnp.logical_and(
+            need, (kv_chunk + 1) * C - 1 >= q_chunk * C - cfg.window[0])
+    if cfg.window[1] >= 0 and not cfg.causal:
+        need = jnp.logical_and(
+            need, kv_chunk * C <= (q_chunk + 1) * C - 1 + cfg.window[1])
+    return need
+
+
+def _halves(cfg, x, n, idx):
+    """Split local BHSD tensor into zigzag halves with global chunk ids."""
+    if not cfg.zigzag:
+        return [(x, idx)], x.shape[2]
+    C = x.shape[2] // 2
+    return [(x[:, :, :C], idx), (x[:, :, C:], 2 * n - 1 - idx)], C
+
+
+def _ring_forward_impl(cfg: RingConfig, q, k, v, seed=0):
     """Per-shard forward. Returns (out BSHD, lse [B, Hq, S_loc, 1] f32)."""
     B, S_loc, Hq, D = q.shape
-    assert S_loc % 128 == 0, "ring shards must be lane-aligned (S_loc % 128 == 0)"
+    assert S_loc % 128 == 0, "ring shards must be lane-aligned"
     n = jax.lax.axis_size(cfg.axis_name)
     idx = jax.lax.axis_index(cfg.axis_name)
-    scale = cfg.softmax_scale if cfg.softmax_scale is not None else default_softmax_scale(D)
+    scale = (cfg.softmax_scale if cfg.softmax_scale is not None
+             else default_softmax_scale(D))
+    S_tot = n * S_loc
 
     Dp = round_up_to_multiple(D, 128)
-    blocks = choose_block_sizes(S_loc, S_loc, Dp, causal=cfg.causal)
-    bq, bkv = min(blocks.block_q, S_loc), min(blocks.block_kv, S_loc)
     qT = pad_to_multiple(_to_bhsd(q), 128, 3)
     kT = pad_to_multiple(_to_bhsd(k), 128, 3)
     vT = pad_to_multiple(_to_bhsd(v), 128, 3)
-    # Hoist the scale*log2e fold out of the per-chunk loop (the launcher
-    # would otherwise redo this elementwise pass once per ring hop).
+    # Hoist the scale*log2e fold out of the per-chunk loop.
     qT = (qT.astype(jnp.float32) * (scale * LOG2E)).astype(qT.dtype)
 
-    S_tot = n * S_loc
-    lens = jnp.broadcast_to(jnp.array([[S_tot, S_tot]], jnp.int32), (B, 2))
-    q_off = idx * S_loc
-
-    m = jnp.full((B, Hq, S_loc, 1), MASK_LOG2, jnp.float32)
-    l = jnp.zeros((B, Hq, S_loc, 1), jnp.float32)
-    acc = jnp.zeros((B, Hq, S_loc, Dp), jnp.float32)
+    q_halves, C = _halves(cfg, qT, n, idx)
+    states = [
+        (jnp.full((B, Hq, C, 1), MASK_LOG2, jnp.float32),
+         jnp.zeros((B, Hq, C, 1), jnp.float32),
+         jnp.zeros((B, Hq, C, Dp), jnp.float32))
+        for _ in q_halves
+    ]
 
     perm = [(i, (i + 1) % n) for i in range(n)]
     k_cur, v_cur = kT, vT
     for step in range(n):
         src = (idx - step) % n
-        kv_off = src * S_loc
+        kv_halves, _ = _halves(cfg, k_cur, n, src)
+        v_halves, _ = _halves(cfg, v_cur, n, src)
+        for qi, (q_h, qc) in enumerate(q_halves):
+            for (k_h, kc), (v_h, _) in zip(kv_halves, v_halves):
+                diag = kc == qc
 
-        def _chunk(ops):
-            m, l, acc, k_c, v_c, kv_off = ops
-            o_c, lse_c = flash_attn_forward(
-                qT, k_c, v_c, lens, _scalars(q_off, kv_off), None,
-                causal=cfg.causal, softmax_scale=scale,
-                block_q=bq, block_kv=bkv,
-                seqlen_q_real=S_loc, seqlen_k_real=S_loc,
-                static_skip=False, varlen=False, q_prescaled=True,
-            )
-            return _merge(m, l, acc, o_c, lse_c)
+                def _do(ops, q_h=q_h, k_h=k_h, v_h=v_h, qc=qc, kc=kc):
+                    m, l, acc = ops
 
-        if cfg.causal:
-            needed = kv_off <= q_off + S_loc - 1
-            m, l, acc = jax.lax.cond(
-                needed, _chunk, lambda ops: (ops[0], ops[1], ops[2]),
-                (m, l, acc, k_cur, v_cur, kv_off),
-            )
-        else:
-            m, l, acc = _chunk((m, l, acc, k_cur, v_cur, kv_off))
+                    def _call(diag):
+                        def inner(args):
+                            return _chunk_call_fwd(
+                                cfg, scale, seed, S_tot, *args,
+                                qc * C, kc * C, diag=diag)
+                        return inner
 
+                    args = (q_h, k_h, v_h)
+                    if cfg.causal and cfg.window == (-1, -1):
+                        # Diagonal pairs take the static causal fast path,
+                        # strictly-past pairs the mask-free one; lax.cond
+                        # executes exactly one.
+                        o_c, lse_c = jax.lax.cond(
+                            kc == qc, _call(True), _call(False), args)
+                    else:
+                        o_c, lse_c = _call(True)(args)
+                    return _merge(m, l, acc, o_c, lse_c)
+
+                states[qi] = jax.lax.cond(
+                    _needed(cfg, qc, kc, C, n), _do, lambda ops: ops,
+                    states[qi])
         if step != n - 1:
             k_cur = jax.lax.ppermute(k_cur, cfg.axis_name, perm)
             v_cur = jax.lax.ppermute(v_cur, cfg.axis_name, perm)
 
-    l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
-    o = (acc * l_inv).astype(q.dtype)
-    lse = m + jnp.log2(jnp.maximum(l, 0.0))  # -inf on dead rows
-    out = _from_bhsd(o[:, :, :, :D])
-    return out, lse
+    os, lses = [], []
+    for m, l, acc in states:
+        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        os.append((acc * l_inv).astype(q.dtype))
+        lses.append(m + jnp.log2(jnp.maximum(l, 0.0)))  # -inf on dead rows
+    o = jnp.concatenate(os, axis=2) if len(os) > 1 else os[0]
+    lse = jnp.concatenate(lses, axis=2) if len(lses) > 1 else lses[0]
+    return _from_bhsd(o[:, :, :, :D]), lse
 
 
-def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do):
+def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do, dlse=None,
+                        seed=0):
     """Per-shard backward. dq stays local; (k, v, dk, dv) ride the ring."""
     B, S_loc, Hq, D = q.shape
     n = jax.lax.axis_size(cfg.axis_name)
     idx = jax.lax.axis_index(cfg.axis_name)
-    scale = cfg.softmax_scale if cfg.softmax_scale is not None else default_softmax_scale(D)
+    scale = (cfg.softmax_scale if cfg.softmax_scale is not None
+             else default_softmax_scale(D))
+    S_tot = n * S_loc
 
     Dp = round_up_to_multiple(D, 128)
-    blocks = choose_block_sizes(S_loc, S_loc, Dp, causal=cfg.causal)
-    bq = min(blocks.block_q_bwd, S_loc)
-    bkv = min(blocks.block_kv_bwd, S_loc)
     qT = pad_to_multiple(_to_bhsd(q), 128, 3)
     kT = pad_to_multiple(_to_bhsd(k), 128, 3)
     vT = pad_to_multiple(_to_bhsd(v), 128, 3)
     oT = pad_to_multiple(_to_bhsd(out), 128, 3)
     doT = pad_to_multiple(_to_bhsd(do), 128, 3)
 
-    S_tot = n * S_loc
-    lens = jnp.broadcast_to(jnp.array([[S_tot, S_tot]], jnp.int32), (B, 2))
-    q_off = idx * S_loc
+    q_halves, C = _halves(cfg, qT, n, idx)
+    o_halves, _ = _halves(cfg, oT, n, idx)
+    do_halves, _ = _halves(cfg, doT, n, idx)
+    lse_halves, _ = _halves(cfg, lse, n, idx)
+    dlse_halves = (_halves(cfg, dlse, n, idx)[0]
+                   if dlse is not None else [(None, 0)] * len(q_halves))
 
-    dq = jnp.zeros_like(qT, jnp.float32)
+    dq_halves = [jnp.zeros((B, Hq, C, Dp), jnp.float32) for _ in q_halves]
     dk_t = jnp.zeros_like(kT, jnp.float32)
     dv_t = jnp.zeros_like(vT, jnp.float32)
 
@@ -175,29 +288,40 @@ def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do):
     k_cur, v_cur = kT, vT
     for step in range(n):
         src = (idx - step) % n
-        kv_off = src * S_loc
+        kv_halves, _ = _halves(cfg, k_cur, n, src)
+        v_halves, _ = _halves(cfg, v_cur, n, src)
+        for qi, (q_h, qc) in enumerate(q_halves):
+            for kj, ((k_h, kc), (v_h, _)) in enumerate(
+                    zip(kv_halves, v_halves)):
 
-        def _chunk(ops):
-            dq, dk_t, dv_t, k_c, v_c, kv_off = ops
-            dq_c, dk_c, dv_c = flash_attn_backward(
-                qT, k_c, v_c, doT, oT, lse, lens, _scalars(q_off, kv_off), None,
-                causal=cfg.causal, softmax_scale=scale,
-                block_q=bq, block_kv=bkv,
-                seqlen_q_real=S_loc, seqlen_k_real=S_loc,
-                static_skip=False,
-            )
-            return (dq + dq_c.astype(jnp.float32),
-                    dk_t + dk_c.astype(jnp.float32),
-                    dv_t + dv_c.astype(jnp.float32))
+                def _do(ops, q_h=q_h, k_h=k_h, v_h=v_h, qc=qc, kc=kc,
+                        qi=qi, kj=kj):
+                    dq_h, dk_t, dv_t = ops
 
-        if cfg.causal:
-            needed = kv_off <= q_off + S_loc - 1
-            dq, dk_t, dv_t = jax.lax.cond(
-                needed, _chunk, lambda ops: (ops[0], ops[1], ops[2]),
-                (dq, dk_t, dv_t, k_cur, v_cur, kv_off),
-            )
-        else:
-            dq, dk_t, dv_t = _chunk((dq, dk_t, dv_t, k_cur, v_cur, kv_off))
+                    def _one(diag):
+                        def inner(_):
+                            return _bwd_pair(
+                                cfg, scale, seed, S_tot, q_h, k_h, v_h,
+                                do_halves[qi][0], o_halves[qi][0],
+                                lse_halves[qi][0], dlse_halves[qi][0],
+                                qc * C, kc * C, diag)
+                        return inner
+
+                    if cfg.causal and cfg.window == (-1, -1):
+                        dq_c, dk_c, dv_c = jax.lax.cond(
+                            kc == qc, _one(True), _one(False), ())
+                    else:
+                        dq_c, dk_c, dv_c = _one(True)(())
+                    dq_h = dq_h + dq_c.astype(jnp.float32)
+                    ksl = slice(kj * C, (kj + 1) * C) if cfg.zigzag else \
+                        slice(None)
+                    dk_t = dk_t.at[:, :, ksl].add(dk_c.astype(jnp.float32))
+                    dv_t = dv_t.at[:, :, ksl].add(dv_c.astype(jnp.float32))
+                    return dq_h, dk_t, dv_t
+
+                dq_halves[qi], dk_t, dv_t = jax.lax.cond(
+                    _needed(cfg, qc, kc, C, n), _do,
+                    lambda ops: ops, (dq_halves[qi], dk_t, dv_t))
 
         # Rotate the chunk AND its gradient accumulators together; after the
         # final hop they are home, complete.
@@ -206,26 +330,57 @@ def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do):
         dk_t = jax.lax.ppermute(dk_t, cfg.axis_name, perm)
         dv_t = jax.lax.ppermute(dv_t, cfg.axis_name, perm)
 
+    dq = (jnp.concatenate(dq_halves, axis=2) if len(dq_halves) > 1
+          else dq_halves[0])
     dq_out = _from_bhsd(dq[:, :, :, :D]).astype(q.dtype)
     dk_out = _from_bhsd(dk_t[:, :, :, :D]).astype(k.dtype)
     dv_out = _from_bhsd(dv_t[:, :, :, :D]).astype(v.dtype)
     return dq_out, dk_out, dv_out
 
 
+def _bwd_pair(cfg, scale, seed, S_tot, qT, k_c, v_c, doT, oT, lse, dlse,
+              q_off, kv_off, diag):
+    B, _, S_loc, _ = qT.shape
+    lens = jnp.broadcast_to(jnp.array([[S_tot, S_tot]], jnp.int32), (B, 2))
+    general_window = cfg.window != (-1, -1)
+    if general_window:
+        causal, static_skip = cfg.causal, False
+    elif diag and cfg.causal:
+        causal, static_skip = True, True
+    else:
+        causal, static_skip = False, False
+    blocks = choose_block_sizes(S_loc, S_loc, qT.shape[3], causal=causal)
+    return flash_attn_backward(
+        qT, k_c, v_c, doT, oT, lse, lens,
+        _scalars(q_off, kv_off, seed), None,
+        causal=causal, softmax_scale=scale, window=cfg.window,
+        dropout_p=cfg.dropout_p,
+        block_q=min(blocks.block_q_bwd, S_loc),
+        block_kv=min(blocks.block_kv_bwd, S_loc),
+        unroll=blocks.unroll_bwd,
+        seqlen_q_real=S_tot, seqlen_k_real=S_tot,
+        static_skip=static_skip, dlse=dlse,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _ring_attn(cfg: RingConfig, q, k, v):
-    out, _ = _ring_forward_impl(cfg, q, k, v)
-    return out
+    out, lse = _ring_forward_impl(cfg, q, k, v)
+    return out, lse[:, :, :, 0]
 
 
 def _ring_attn_fwd(cfg, q, k, v):
     out, lse = _ring_forward_impl(cfg, q, k, v)
-    return out, (q, k, v, out, lse)
+    return (out, lse[:, :, :, 0]), (q, k, v, out, lse)
 
 
-def _ring_attn_bwd(cfg, res, do):
+def _ring_attn_bwd(cfg, res, cot):
     q, k, v, out, lse = res
-    return _ring_backward_impl(cfg, q, k, v, out, lse, do)
+    do, dlse = cot
+    # Guard non-finite rows (dead-row lse is -inf; cotangent must not leak).
+    dlse4 = dlse[:, :, :, None]
+    dlse4 = jnp.where(jnp.isfinite(lse) & jnp.isfinite(dlse4), dlse4, 0.0)
+    return _ring_backward_impl(cfg, q, k, v, out, lse, do, dlse=dlse4)
 
 
 _ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
@@ -239,14 +394,22 @@ def ring_attention_local(
     axis_name: str,
     causal: bool,
     softmax_scale: Optional[float] = None,
+    window: Tuple[int, int] = (-1, -1),
+    dropout_p: float = 0.0,
+    zigzag: bool = False,
     return_lse: bool = False,
 ):
-    """Differentiable per-shard ring attention; run inside shard_map."""
-    cfg = RingConfig(axis_name=axis_name, causal=causal, softmax_scale=softmax_scale)
+    """Differentiable per-shard ring attention; run inside shard_map.
+
+    With zigzag=True the local shard must already hold the zigzag chunk
+    pair layout (use `make_ring_attention`, which permutes globally)."""
+    cfg = RingConfig(axis_name=axis_name, causal=causal,
+                     softmax_scale=softmax_scale, window=window,
+                     dropout_p=dropout_p, zigzag=zigzag)
+    out, lse = _ring_attn(cfg, q, k, v)
     if return_lse:
-        out, lse = _ring_forward_impl(cfg, q, k, v)
-        return out, lse[:, :, :, 0]
-    return _ring_attn(cfg, q, k, v)
+        return out, lse
+    return out
 
 
 def make_ring_attention(
@@ -255,20 +418,48 @@ def make_ring_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     seq_axis: str = AXIS_SEQ,
+    window: Tuple[int, int] = (-1, -1),
+    dropout_p: float = 0.0,
+    zigzag: Optional[bool] = None,
+    return_lse: bool = False,
 ):
     """Returns differentiable fn(q, k, v) over GLOBAL [B, S, H, D] arrays
-    sharded (data, seq, model, None)."""
-
-    def local_fn(q, k, v):
-        return ring_attention_local(
-            q, k, v, axis_name=seq_axis, causal=causal,
-            softmax_scale=softmax_scale,
-        )
-
+    sharded (data, seq, model, None). Causal rings default to the zigzag
+    layout (balanced work per device); the permutation is applied/undone
+    here on the global arrays, so callers see normal sequence order."""
+    n = int(mesh.shape[seq_axis])
     spec = P(AXIS_DATA, seq_axis, AXIS_MODEL, None)
-    return jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_vma=False,
-    )
+    lse_spec = P(AXIS_DATA, AXIS_MODEL, seq_axis)
+
+    def fn(q, k, v):
+        S = q.shape[1]
+        # Zigzag needs two lane-aligned chunks per device; otherwise fall
+        # back to the contiguous layout (still correct, less balanced).
+        zz_ok = S % (2 * n) == 0 and (S // (2 * n)) % 128 == 0
+        use_zigzag = (causal and n > 1 and zz_ok) if zigzag is None \
+            else (zigzag and zz_ok)
+
+        def local_fn(q, k, v):
+            return ring_attention_local(
+                q, k, v, axis_name=seq_axis, causal=causal,
+                softmax_scale=softmax_scale, window=window,
+                dropout_p=dropout_p, zigzag=use_zigzag, return_lse=True,
+            )
+
+        sharded = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, lse_spec),
+            check_vma=False,
+        )
+        if use_zigzag:
+            q, k, v = (zigzag_permute(x, n, axis=1) for x in (q, k, v))
+        out, lse = sharded(q, k, v)
+        if use_zigzag:
+            out = zigzag_unpermute(out, n, axis=1)
+            lse = zigzag_unpermute(lse, n, axis=2)
+        if return_lse:
+            return out, lse
+        return out
+
+    return fn
