@@ -116,15 +116,48 @@ def bench_decode(B=32, Hq=32, Hkv=8, D=128, S_max=8192, fill=8192):
     }
 
 
+def bench_varlen(B=4, S=4096, Hq=32, Hkv=32, D=128):
+    """Lens-driven block skipping: a batch padded ~2x should cost ~half the
+    dense-padded time, not the same (reference early-exit parity,
+    `/root/reference/src/forward/kernel.py:105-112`)."""
+    from fa2_triton_tpu import flash_attn_func
+
+    q, k, v = make_inputs(B, S, S, Hq, Hkv, D, jnp.bfloat16)
+    # Half of every sequence is padding.
+    mask = jnp.arange(S)[None, :] < jnp.full((B, 1), S // 2)
+    full = jnp.ones((B, S), bool)
+    t_half = device_time(
+        lambda q, k, v: flash_attn_func(q, k, v, attention_mask=mask),
+        q, k, v, iters=10)
+    t_full = device_time(
+        lambda q, k, v: flash_attn_func(q, k, v, attention_mask=full),
+        q, k, v, iters=10)
+    return {"half_ms": t_half * 1e3, "full_ms": t_full * 1e3,
+            "skip_speedup": t_full / t_half}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", action="store_true")
     ap.add_argument("--causal", action="store_true")
-    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwdbwd", "decode"])
+    ap.add_argument("--mode", default="fwd",
+                    choices=["fwd", "fwdbwd", "decode", "varlen"])
     ap.add_argument("--seqlen", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--heads", type=int, default=32)
     args = ap.parse_args()
+
+    if args.mode == "varlen":
+        r = bench_varlen()
+        print(f"varlen 50% padding: {r['half_ms']:.3f} ms vs dense "
+              f"{r['full_ms']:.3f} ms", file=sys.stderr)
+        print(json.dumps({
+            "metric": "varlen_half_padding_speedup",
+            "value": round(r["skip_speedup"], 3),
+            "unit": "x",
+            "vs_baseline": round(r["skip_speedup"], 3),
+        }))
+        return
 
     if args.mode == "decode":
         r = bench_decode()
@@ -140,13 +173,23 @@ def main():
         return
 
     if args.suite:
+        floor_violations = []
         for causal in (False, True):
             for mode in ("fwd", "fwdbwd"):
-                for S in (1024, 4096, 8192):
+                for S in (1024, 2048, 4096, 8192):
                     r = bench_attention(4, S, 32, 32, 128, jnp.bfloat16, causal, mode)
                     print(f"causal={causal} {mode} S={S}: {r['ms']:.3f} ms "
                           f"{r['tflops']:.1f} TFLOP/s (baseline {r['baseline_ms']:.3f} ms, "
                           f"{r['speedup']:.2f}x)", file=sys.stderr, flush=True)
+                    # On-chip perf floors: regressions fail loudly.
+                    if (S, causal, mode) == (4096, False, "fwd") and r["tflops"] < 140:
+                        floor_violations.append(f"fwd S=4096 {r['tflops']:.1f} < 140")
+                    if (S, causal, mode) == (4096, False, "fwdbwd") and r["tflops"] < 135:
+                        floor_violations.append(f"fwdbwd S=4096 {r['tflops']:.1f} < 135")
+        if floor_violations:
+            print("PERF FLOOR VIOLATED: " + "; ".join(floor_violations),
+                  file=sys.stderr)
+            sys.exit(1)
 
     # The dense baseline materializes per-head [B, S, S] fp32 scores; at
     # very long sequences it cannot run on one chip, so vs_baseline is

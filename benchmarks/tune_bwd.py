@@ -23,10 +23,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--seqlen", type=int, default=4096)
+    ap.add_argument("--head-dim", type=int, default=128)
+    ap.add_argument("--heads", type=int, default=32)
     args = ap.parse_args()
 
 
-    B, S, H, D = 4, args.seqlen, 32, 128
+    B, S, H, D = 4, args.seqlen, args.heads, args.head_dim
     q, k, v = make_inputs(B, S, S, H, H, D, jnp.bfloat16)
     do = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.bfloat16)
     flops = attention_flops(B, H, S, S, D, args.causal, fwd_and_bwd=True)

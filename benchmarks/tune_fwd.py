@@ -24,9 +24,11 @@ def main():
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--seqlen", type=int, default=4096)
     ap.add_argument("--bias", action="store_true")
+    ap.add_argument("--head-dim", type=int, default=128)
+    ap.add_argument("--heads", type=int, default=32)
     args = ap.parse_args()
 
-    B, S, H, D = 4, args.seqlen, 32, 128
+    B, S, H, D = 4, args.seqlen, args.heads, args.head_dim
     q, k, v = make_inputs(B, S, S, H, H, D, jnp.bfloat16)
     bias = None
     if args.bias:
@@ -37,7 +39,7 @@ def main():
 
     configs = []
     for bq in (256, 512, 1024, 2048):
-        for bkv in (512, 1024, 2048, 4096):
+        for bkv in (512, 1024, 2048, 4096, 8192):
             if bq * bkv > 1024 * 4096 or bkv > S or bq > S:
                 continue
             for u in (1, 2, 4, 8):

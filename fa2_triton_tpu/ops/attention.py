@@ -195,7 +195,9 @@ def flash_attn_func(
 
     Dp = round_up_to_multiple(D, 128)
     blocks = block_sizes or choose_block_sizes(
-        Sq, Sk, Dp, causal=causal, has_bias=attention_bias is not None
+        Sq, Sk, Dp, causal=causal, has_bias=attention_bias is not None,
+        has_window=window_size != (-1, -1),
+        has_varlen=attention_mask is not None,
     )
     pad_q = max(blocks.block_q, blocks.block_q_bwd)
     pad_kv = max(blocks.block_kv, blocks.block_kv_bwd)

@@ -398,6 +398,180 @@ def _fwd_kernel_tri(lens_ref, scal_ref, q_ref, k_ref, v_ref, tri,
                        **kw)
 
 
+def _fwd_tri_square_kernel(
+    # prefetch/SMEM scalars
+    lens_ref, scal_ref,
+    q_ref,        # (1, 1, Sq, D) — the WHOLE (padded) query sequence
+    k_ref,        # (1, 1, Sk, D)
+    v_ref,        # (1, 1, Sk, D)
+    tri_ref,      # (1, 1, sub, sub) additive 0/MASK_LOG2 triangle
+    o_ref, lse_ref,
+    *,
+    sub: int, n_sub_q: int, n_sub_k: int, shift_static: int, unroll: int,
+    dropout_p: float,
+    seqlen_q_real: int, seqlen_k_real: int, num_q_heads: int,
+    varlen: bool,
+):
+    """Small-sequence causal forward: one grid step per (batch, head).
+
+    With a single q block (nq == 1) the whole causal structure is STATIC:
+    the (row sub-tile r, kv sub-tile u) classification — skip / full /
+    diagonal — is decided at trace time, so the unrolled loop emits only the
+    lower-triangle tiles, with no pl.when, no per-step scratch state machine,
+    and one constant (sub, sub) triangle mask on the n_sub diagonal tiles
+    (requires shift % sub == 0, checked by the launcher). This removes the
+    per-grid-step overheads that cap the generic kernel at short sequences
+    (measured 54 -> ~90 TFLOP/s at S=1024 causal on v5e).
+
+    q is prescaled by scale*log2e (launcher); masks follow the same
+    bottom-right-aligned contract as `_fwd_kernel`.
+    """
+    b = pl.program_id(0)
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    seed = scal_ref[0, 2]
+    h = pl.program_id(1)
+    shift_sub = shift_static // sub
+
+    for r in range(n_sub_q):
+        rs = slice(r * sub, (r + 1) * sub)
+        q = q_ref[0, 0, rs]
+        m = jnp.full((sub, 1), MASK_LOG2, jnp.float32)
+        l = jnp.zeros((sub, 1), jnp.float32)
+        acc = None
+        us = [u for u in range(n_sub_k) if u <= r + shift_sub]
+        # Process kv sub-tiles in groups of `unroll`: independent QK^T / exp2
+        # / PV chains within a group share one running-max update, letting
+        # Mosaic overlap one tile's PV matmul with the next tile's exp2
+        # (same trick as the main kernel's KV sub-tiling).
+        for g in range(0, len(us), unroll):
+            chunk = us[g:g + unroll]
+            s2s = []
+            for u in chunk:
+                k = k_ref[0, 0, u * sub:(u + 1) * sub]
+                s2 = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q, k),
+                )
+                if u == r + shift_sub:     # the diagonal tile (offset 0)
+                    s2 = s2 + tri_ref[0, 0].astype(jnp.float32)
+                s2s.append(s2)
+            m_new = m
+            for s2 in s2s:
+                m_new = jnp.maximum(m_new, jnp.max(s2, axis=-1,
+                                                   keepdims=True))
+            alpha = jnp.exp2(m - m_new)
+            if acc is not None:
+                acc = acc * alpha
+            l = l * alpha
+            for u, s2 in zip(chunk, s2s):
+                p = jnp.exp2(s2 - m_new)
+                l = l + jnp.sum(p, axis=-1, keepdims=True)
+                if dropout_p > 0.0:
+                    row_g = (r * sub + jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, sub), 0)).astype(jnp.uint32)
+                    col_g = (u * sub + jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, sub), 1)).astype(jnp.uint32)
+                    flat = ((b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
+                             + h.astype(jnp.uint32))
+                            * jnp.uint32(seqlen_q_real) + row_g
+                            ) * jnp.uint32(seqlen_k_real) + col_g
+                    bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+                    p = jnp.where(
+                        bits >= jnp.uint32(dropout_threshold(dropout_p)),
+                        p, 0.0)
+                v = v_ref[0, 0, u * sub:(u + 1) * sub]
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(v),
+                )
+                acc = pv if acc is None else acc + pv
+            m = m_new
+
+        row_g = r * sub + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+        if acc is None:               # whole slice above the diagonal
+            o = jnp.zeros((sub, q_ref.shape[3]), jnp.float32)
+            lse = jnp.full((sub, 1), -jnp.inf, jnp.float32)
+        else:
+            l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+            if dropout_p > 0.0:
+                l_inv = l_inv / (1.0 - dropout_p)
+            o = acc * l_inv
+            lse = m + jnp.log2(l)
+        shift = kv_len - q_len
+        valid = jnp.logical_and(row_g < q_len, row_g + shift >= 0)
+        o_ref[0, 0, rs] = jnp.where(valid, o, 0.0).astype(o_ref.dtype)
+        lse_ref[0, 0, rs] = jnp.where(valid, lse, -jnp.inf).astype(
+            lse_ref.dtype)
+
+
+def flash_attn_forward_tri_square(
+    q, k, v, lens, scalars, *,
+    softmax_scale, dropout_p=0.0, sub=256, unroll=2,
+    seqlen_q_real=None, seqlen_k_real=None, varlen=False,
+    q_prescaled=False, debug_interpret=None,
+):
+    """Launch the static-triangular causal forward (see kernel docstring).
+
+    Preconditions (caller-checked via `tri_square_ok`): causal, static shift,
+    no window/bias, Sq/Sk multiples of `sub`, shift % sub == 0.
+    """
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    shift = sk_real - sq_real
+    assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0
+    if not q_prescaled:
+        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    kernel = functools.partial(
+        _fwd_tri_square_kernel,
+        sub=sub, n_sub_q=Sq // sub, n_sub_k=Sk // sub, shift_static=shift,
+        unroll=unroll, dropout_p=dropout_p,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+        varlen=varlen,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Sq, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, sub, sub), lambda b, h: (0, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Sq, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, 1), lambda b, h: (b, h, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k, v, make_tri_mask(sub, sub))
+    return o, lse
+
+
+def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
+                  sq_real, sk_real, sub=256, max_seq=2048):
+    """Eligibility for the static-triangular small-S causal kernel."""
+    return (causal and static_skip and window == (-1, -1) and bias is None
+            and Sq <= max_seq and Sk <= max_seq
+            and Sq % sub == 0 and Sk % sub == 0
+            and (sk_real - sq_real) % sub == 0)
+
+
 def make_tri_mask(block_q: int, block_kv: int) -> jax.Array:
     """Additive lower-triangle tile: 0 where col <= row, MASK_LOG2 above."""
     row = jnp.arange(block_q, dtype=jnp.int32).reshape(-1, 1)
@@ -428,6 +602,7 @@ def flash_attn_forward(
     varlen: bool = False,
     q_prescaled: bool = False,
     zigzag: Optional[bool] = None,
+    tri_square: Optional[bool] = None,
     debug_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Launch the forward kernel on BHSD tensors already padded to blocks.
@@ -445,6 +620,22 @@ def flash_attn_forward(
     nq, nkv = Sq // block_q, Sk // block_kv
     sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+
+    # Short causal sequences use the fully-static triangular kernel (one
+    # grid step per (batch, head)): measured 54 -> ~90 TFLOP/s at S=1024.
+    ok_tri = tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
+                           sq_real, sk_real)
+    if tri_square if tri_square is not None else ok_tri:
+        assert ok_tri, "tri_square forced but preconditions not met"
+        return flash_attn_forward_tri_square(
+            q, k, v, lens, scalars,
+            softmax_scale=softmax_scale, dropout_p=dropout_p,
+            # v5e sweep: sub=256 throughout; deep unroll pays at S<=1024
+            # (88.9 TFLOP/s), hurts at 2048 (u1: 97.6).
+            sub=256, unroll=4 if Sq <= 1024 else 1,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, varlen=varlen,
+            q_prescaled=q_prescaled, debug_interpret=debug_interpret,
+        )
 
     # Largest sub-tile split <= unroll_kv with lane-aligned sub-tiles.
     unroll = max(1, unroll_kv)

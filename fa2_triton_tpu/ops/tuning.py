@@ -51,15 +51,18 @@ def _waste_aware(seqlen: int, candidates, max_waste_frac: float = 0.125) -> int:
 
 def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
                        dtype_bits: int = 16, causal: bool = False,
-                       has_bias: bool = False) -> BlockSizes:
+                       has_bias: bool = False,
+                       has_window: bool = False,
+                       has_varlen: bool = False) -> BlockSizes:
     """Pick block sizes that fit comfortably in ~16MB VMEM with pipelining.
 
-    Values from the v5e production-path sweeps at S=4096 D=128
-    (benchmarks/tune_fwd.py, benchmarks/tune_bwd.py): forward non-causal
-    peaks at (512, 4096) ~153 TFLOP/s (86% of the chip's practical matmul
-    peak, benchmarks/kernel_lab.py --peak), causal at (1024, 2048, unroll 4)
-    ~85 effective TFLOP/s; bias tiles (block_q x block_kv f32,
-    double-buffered) force smaller blocks.
+    Values from the v5e production-path sweeps at D=128
+    (benchmarks/tune_fwd.py, tune_bwd_fused.py, tune_zigzag.py): forward
+    non-causal peaks at (512, 4096) ~152 TFLOP/s (86% of the chip's
+    practical matmul peak, benchmarks/kernel_lab.py --peak); causal S<=2048
+    routes to the static-triangular kernel (89-98 TFLOP/s effective),
+    S>=4096 to the zigzag schedule at (1024, 1024, u1) ~87; bias tiles
+    (block_q x block_kv f32, double-buffered) force smaller blocks.
     """
     # Budget shrinks as the (padded) head dim grows: acc/q/k/v tiles scale
     # linearly in head_dim, the s/p tile scales with block_q*block_kv.
@@ -67,9 +70,28 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
     if head_dim_padded <= 128:
         if has_bias:
             bq, bkv = 512, _waste_aware(seqlen_k, (1024, 512, 256, 128))
-        elif causal:
+        elif causal and has_window:
+            # Window disables the zigzag/tri fast paths; the diag-split
+            # schedule prefers wide KV strips.
             bq = _waste_aware(seqlen_q, (1024, 512, 256, 128))
             bkv = _waste_aware(seqlen_k, (2048, 1024, 512, 256, 128))
+        elif causal:
+            # Zigzag schedule (S >= 4096; shorter sequences bypass these via
+            # the tri-square kernel): square aligned tiles so the diag mask
+            # is the constant triangle, unroll 1.
+            bq = _waste_aware(seqlen_q, (1024, 512, 256, 128))
+            bkv = _waste_aware(seqlen_k, (1024, 512, 256, 128))
+            unroll_kv = 1
+        elif has_varlen:
+            # Per-batch length clamping skips whole KV blocks; a whole-strip
+            # block makes that all-or-nothing, so varlen batches trade a few
+            # percent of peak (142 vs 152 TFLOP/s dense) for 1024-granular
+            # skipping (bench.py --mode varlen: ~2x at 50% padding).
+            bkv = _waste_aware(seqlen_k, (1024, 512, 256, 128))
+            bq = _waste_aware(seqlen_q, (512, 256, 128))
+            return BlockSizes(block_q=bq, block_kv=bkv,
+                              block_q_bwd=bq, block_kv_bwd=bkv,
+                              unroll_kv=1, unroll_bwd=2)
         else:
             bkv = _waste_aware(seqlen_k, (4096, 2048, 1024, 512, 256, 128))
             # Keep the f32 score tile around 2M elements: (512, 4096),
@@ -127,11 +149,21 @@ def choose_fused_bwd(seqlen_q_pad: int, seqlen_k_pad: int,
                    None)
         if bkv is None:
             return None
-    sub = next((c for c in (1024, 512, 256, 128) if bkv % c == 0), None)
     bq = next((c for c in (512, 256, 128) if seqlen_q_pad % c == 0), None)
-    if sub is None or bq is None:
+    if bq is None:
         return None
-    return bq, bkv, sub, 2
+    if causal:
+        # sub == bq engages the zigzag schedule's constant-triangle mask
+        # (v5e: S=4096 -> 114.5 effective vs 82 two-pass).
+        sub = next((c for c in (bq, 512, 256, 128) if bkv % c == 0), None)
+        u = 1
+    else:
+        # (512, strip, 1024, u2): 157 TFLOP/s bwd-only at S=4096.
+        sub = next((c for c in (1024, 512, 256, 128) if bkv % c == 0), None)
+        u = 2
+    if sub is None:
+        return None
+    return bq, bkv, sub, u
 
 
 def _compatible(b_fwd: int, b_bwd: int) -> int:

@@ -87,3 +87,29 @@ if FULL:
             4, 8, 2, seqlen_q, seqlen_k, head_dim, causal=causal,
             use_attention_mask=use_mask, use_bias=use_bias,
         )
+
+    # Adversarial-shape sweep of the feature axes the curated grid covers
+    # only at fixed shapes: sliding window, softcap, bwd dropout, and the
+    # bias x mask combination the reference FORBIDS
+    # (`/root/reference/src/forward/caller.py:27`) but this framework allows.
+    @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize(
+        "window,softcap,dropout_p",
+        [((37, -1), 0.0, 0.0), ((64, 11), 0.0, 0.0), ((-1, -1), 30.0, 0.0),
+         ((-1, -1), 0.0, 0.17), ((128, 0), 15.0, 0.0)],
+    )
+    def test_full_grid_features(seqlen_q, seqlen_k, causal, window,
+                                softcap, dropout_p):
+        run_attention_case(
+            2, 4, 2, seqlen_q, seqlen_k, 64, causal=causal,
+            window_size=window, softcap=softcap, dropout_p=dropout_p,
+        )
+
+    @pytest.mark.parametrize("seqlen", [128, 255, 384])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_full_grid_bias_and_mask(seqlen, causal):
+        run_attention_case(
+            2, 4, 2, seqlen, seqlen, 64, causal=causal,
+            use_attention_mask=True, use_bias=True,
+        )
