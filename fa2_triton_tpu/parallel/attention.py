@@ -43,5 +43,5 @@ def make_tp_attention(
         local_fn, mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_vma=False,
+        check_vma=False,  # pallas_call outputs cannot carry vma annotations
     )

@@ -34,6 +34,31 @@ def make_mesh(
     return Mesh(arr, (AXIS_DATA, AXIS_MODEL, AXIS_SEQ))
 
 
+def make_multihost_mesh(model: int = 1, seq: int = 1) -> Mesh:
+    """Mesh for a multi-host deployment (after `jax.distributed.initialize`).
+
+    Axis-to-fabric layout follows the bandwidth hierarchy: `data` (gradient
+    all-reduce, latency-tolerant, overlappable) spans hosts — riding DCN
+    when the slice boundary is crossed — while `model` (per-layer psum) and
+    `seq` (per-step ppermute) stay INSIDE a host's chips so their
+    collectives ride ICI. `jax.sharding.Mesh` maps the LAST mesh axes to
+    the fastest-varying device order, and `jax.devices()` enumerates
+    process-local chips contiguously, so putting `data` first achieves
+    exactly that placement — no explicit device permutation needed.
+
+    On this single-host harness the same construction degenerates to
+    `make_mesh` over local chips (validated by the virtual-device suite).
+    """
+    devices = jax.devices()
+    per_host = model * seq
+    n_local = jax.local_device_count()
+    assert n_local % per_host == 0, (
+        f"model*seq = {per_host} must divide the {n_local} chips per host "
+        "so TP/SP collectives never cross DCN")
+    data = len(devices) // per_host
+    return make_mesh(data=data, model=model, seq=seq, devices=devices)
+
+
 _TP_TABLE = {
     "wq": P(None, AXIS_MODEL),
     "wk": P(None, AXIS_MODEL),

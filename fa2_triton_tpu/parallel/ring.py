@@ -450,7 +450,7 @@ def make_ring_attention(
             local_fn, mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=(spec, lse_spec),
-            check_vma=False,
+            check_vma=False,  # pallas_call outputs cannot carry vma annotations
         )
         if use_zigzag:
             q, k, v = (zigzag_permute(x, n, axis=1) for x in (q, k, v))

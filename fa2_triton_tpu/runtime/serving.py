@@ -173,7 +173,7 @@ class Engine:
             decode_fn = jax.shard_map(
                 decode_fn, mesh=self.mesh,
                 in_specs=in_specs, out_specs=(P(), cspec),
-                check_vma=False,
+                check_vma=False,  # pallas_call outputs cannot carry vma annotations
             )
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._prefill_cache: Dict[int, Any] = {}
@@ -247,7 +247,7 @@ class Engine:
                 )
                 fn = jax.shard_map(
                     fn, mesh=self.mesh, in_specs=in_specs,
-                    out_specs=(P(), cspec), check_vma=False,
+                    out_specs=(P(), cspec), check_vma=False,  # pallas_call outputs cannot carry vma annotations
                 )
             self._prefill_cache[s_pad] = jax.jit(fn, donate_argnums=(3,))
         return self._prefill_cache[s_pad]

@@ -8,6 +8,9 @@ Usage:
   python -m fa2_triton_tpu.runtime.serving_demo                # bf16 KV
   python -m fa2_triton_tpu.runtime.serving_demo --qdtype int8  # int8 KV
   python -m fa2_triton_tpu.runtime.serving_demo --dim 1024 --layers 8
+  python -m fa2_triton_tpu.runtime.serving_demo --tp 2         # TP engine
+    (tensor-parallel over the model axis; needs >= tp devices — on multi-chip
+    hardware this is the BASELINE 1 -> N host tokens/s scaling measurement)
 """
 from __future__ import annotations
 
@@ -35,6 +38,8 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--prompt-len", type=int, default=256)
     ap.add_argument("--new-tokens", type=int, default=128)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (model-axis mesh)")
     args = ap.parse_args()
 
     qdtype = {None: None, "int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[args.qdtype]
@@ -47,8 +52,13 @@ def main():
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = None
+    if args.tp > 1:
+        from fa2_triton_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=args.tp, devices=jax.devices()[: args.tp])
     eng = Engine(params, cfg, n_slots=args.slots, max_seq=args.max_seq,
-                 qdtype=qdtype)
+                 qdtype=qdtype, mesh=mesh)
 
     rng = np.random.RandomState(0)
     for _ in range(args.requests):

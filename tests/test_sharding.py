@@ -70,6 +70,21 @@ def test_ring_attention_gqa_with_tp():
     assert _err(out, ref) < 2e-5
 
 
+def test_multihost_mesh_layout():
+    """make_multihost_mesh puts data outermost (DCN) and model/seq within a
+    host's chips (ICI); on one (virtual) host it must still work and keep
+    model-axis neighbors adjacent in device order."""
+    from fa2_triton_tpu.parallel.mesh import make_multihost_mesh
+
+    mesh = make_multihost_mesh(model=2, seq=2)
+    assert mesh.shape["model"] == 2 and mesh.shape["seq"] == 2
+    assert mesh.shape["data"] == len(jax.devices()) // 4
+    # model/seq vary fastest -> same-data-group devices are contiguous.
+    flat = mesh.devices.reshape(mesh.shape["data"], -1)
+    ids = [d.id for d in flat[0]]
+    assert ids == sorted(ids)
+
+
 def test_ring_zigzag_causal_fwd_bwd():
     """S=1024 over 4 devices -> 128-row zigzag chunks: the balanced causal
     schedule actually engages (each device holds chunks (i, 2n-1-i))."""
