@@ -34,7 +34,9 @@ def main():
     flops = attention_flops(B, H, S, S, D, args.causal, fwd_and_bwd=True)
 
     # Forward blocks pinned to the tuned optimum; sweep the backward.
-    fwd_bq, fwd_bkv = (512, min(4096, S)) if not args.causal else (512, 2048)
+    from fa2_triton_tpu.ops.tuning import choose_block_sizes
+    _t = choose_block_sizes(S, S, D, causal=args.causal)
+    fwd_bq, fwd_bkv = _t.block_q, _t.block_kv
 
     configs = []
     for bq in (256, 512, 1024):

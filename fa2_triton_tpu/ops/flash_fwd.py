@@ -564,10 +564,15 @@ def flash_attn_forward_tri_square(
 
 
 def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
-                  sq_real, sk_real, sub=256, max_seq=2048):
-    """Eligibility for the static-triangular small-S causal kernel."""
+                  sq_real, sk_real, head_dim=128, sub=256, max_seq=2048):
+    """Eligibility for the static-triangular small-S causal kernel.
+
+    The whole (padded) sequence lives in VMEM (q, k, v, o tiles), so the
+    budget scales with Sq * head_dim: S=2048 fits at D=128, only S<=1024 at
+    D=256."""
     return (causal and static_skip and window == (-1, -1) and bias is None
             and Sq <= max_seq and Sk <= max_seq
+            and Sq * head_dim <= 2048 * 128 and Sk * head_dim <= 2048 * 128
             and Sq % sub == 0 and Sk % sub == 0
             and (sk_real - sq_real) % sub == 0)
 
@@ -624,7 +629,7 @@ def flash_attn_forward(
     # Short causal sequences use the fully-static triangular kernel (one
     # grid step per (batch, head)): measured 54 -> ~90 TFLOP/s at S=1024.
     ok_tri = tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
-                           sq_real, sk_real)
+                           sq_real, sk_real, head_dim=D)
     if tri_square if tri_square is not None else ok_tri:
         assert ok_tri, "tri_square forced but preconditions not met"
         return flash_attn_forward_tri_square(

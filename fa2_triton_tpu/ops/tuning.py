@@ -105,7 +105,17 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
             if bkv < 2048:
                 unroll_kv = 1
     elif head_dim_padded <= 256:
-        bq, bkv = 256, 512
+        # v5e D=256 sweeps (benchmarks/tune_fwd.py --head-dim 256): the
+        # bigger per-element MXU work beats D=128 — non-causal (256, 4096,
+        # u8) 160 TFLOP/s; causal (1024, 1024, u2) zigzag 117 effective.
+        if causal and not (has_bias or has_window):
+            bq = _waste_aware(seqlen_q, (1024, 512, 256, 128))
+            bkv = _waste_aware(seqlen_k, (1024, 512, 256, 128))
+            unroll_kv = 2
+        else:
+            bq = 256
+            bkv = _waste_aware(seqlen_k, (4096, 2048, 1024, 512, 256, 128))
+            unroll_kv = 8
     else:
         bq, bkv = 128, 256
     bq = min(bq, round_up_to_multiple(max(seqlen_q, 1), 128))
@@ -138,28 +148,38 @@ def choose_fused_bwd(seqlen_q_pad: int, seqlen_k_pad: int,
 
     Returns (block_q, block_kv, sub_kv, unroll) or None.
     """
-    if head_dim_padded > 128:
-        return None  # unswept; dk/dv scratch budget differs
+    if head_dim_padded > 256:
+        return None  # unswept
     # KV strip: whole sequence when it fits the f32 dk/dv scratch budget
-    # (2 * bkv * 128 * 4B <= 4MB), else the largest dividing strip.
-    if seqlen_k_pad <= 4096:
+    # (2 * bkv * Dp * 4B <= 4MB -> 4096 at D=128, 2048 at D=256; the D=256
+    # sweep confirms: fused (512, 2048, 512) = 148 TFLOP/s bwd vs 132
+    # two-pass).
+    bkv_max = 4 * 1024 * 1024 // (2 * 4 * head_dim_padded)
+    if seqlen_k_pad <= bkv_max:
         bkv = seqlen_k_pad
     else:
-        bkv = next((c for c in (4096, 2048, 1024) if seqlen_k_pad % c == 0),
-                   None)
+        bkv = next((c for c in (4096, 2048, 1024)
+                    if c <= bkv_max and seqlen_k_pad % c == 0), None)
         if bkv is None:
             return None
     bq = next((c for c in (512, 256, 128) if seqlen_q_pad % c == 0), None)
     if bq is None:
         return None
+    # Intermediate (bq, sub) f32 tiles cap: bq*sub*Dp <= 2^26 elements*bytes
+    # matches the observed compile envelope ((512,1024) OK at D=128, fails
+    # at D=256 where (512,512)/(256,1024) are the best anyway).
+    def _fits(c):
+        return bkv % c == 0 and bq * c * head_dim_padded <= 1 << 26
+
     if causal:
         # sub == bq engages the zigzag schedule's constant-triangle mask
         # (v5e: S=4096 -> 114.5 effective vs 82 two-pass).
-        sub = next((c for c in (bq, 512, 256, 128) if bkv % c == 0), None)
+        sub = next((c for c in (bq, 512, 256, 128) if _fits(c)), None)
         u = 1
     else:
-        # (512, strip, 1024, u2): 157 TFLOP/s bwd-only at S=4096.
-        sub = next((c for c in (1024, 512, 256, 128) if bkv % c == 0), None)
+        # (512, strip, 1024, u2): 157 TFLOP/s bwd-only at S=4096 D=128;
+        # (512, 2048, 512) 148 at D=256.
+        sub = next((c for c in (1024, 512, 256, 128) if _fits(c)), None)
         u = 2
     if sub is None:
         return None

@@ -127,3 +127,34 @@ def test_resilient_trainer_skips_nonfinite_and_resumes():
         assert start2 == 4 and tr2.report.resumed_from == 4
         assert float(jnp.max(jnp.abs(s2["w"] - s["w"]))) == 0.0
         tr2.close()
+
+
+def test_tuning_tables_sane():
+    """Block tables: divisibility/VMEM invariants across the swept space."""
+    from fa2_triton_tpu.ops.tuning import choose_block_sizes, choose_fused_bwd
+
+    for S in (128, 255, 1024, 2048, 4096, 8192, 32768):
+        for D in (128, 256):
+            for causal in (False, True):
+                for kw in ({}, {"has_bias": True}, {"has_window": True},
+                           {"has_varlen": True}):
+                    bs = choose_block_sizes(S, S, D, causal=causal, **kw)
+                    for v in (bs.block_q, bs.block_kv, bs.block_q_bwd,
+                              bs.block_kv_bwd):
+                        assert v % 128 == 0
+                    # fwd/bwd blocks mutually divide (shared padding).
+                    assert max(bs.block_q, bs.block_q_bwd) % min(
+                        bs.block_q, bs.block_q_bwd) == 0
+                    assert max(bs.block_kv, bs.block_kv_bwd) % min(
+                        bs.block_kv, bs.block_kv_bwd) == 0
+                import math
+                Sp = math.ceil(S / max(bs.block_q, bs.block_q_bwd)) * max(
+                    bs.block_q, bs.block_q_bwd)
+                Skp = math.ceil(S / max(bs.block_kv, bs.block_kv_bwd)) * max(
+                    bs.block_kv, bs.block_kv_bwd)
+                cfg = choose_fused_bwd(Sp, Skp, D, causal)
+                if cfg is not None:
+                    bq, bkv, sub, u = cfg
+                    assert Sp % bq == 0 and Skp % bkv == 0 and bkv % sub == 0
+                    # dk/dv f32 scratch stays within the VMEM budget.
+                    assert 2 * bkv * D * 4 <= 8 * 1024 * 1024
