@@ -561,7 +561,7 @@ def _bwd_tri_square_kernel(
     tri_ref,    # (1, 1, sub, sub) additive 0/MASK_LOG2 triangle
     dq_ref, dk_ref, dv_ref,
     *,
-    scale, sub, n_sub_q, n_sub_k, shift_static, group, unroll,
+    scale, sub, n_sub_q, n_sub_k, shift_static, group,
     dropout_p, seqlen_q_real, seqlen_k_real, num_q_heads,
 ):
     """Small-sequence causal backward: one grid step per (batch, kv head).
@@ -576,6 +576,8 @@ def _bwd_tri_square_kernel(
     """
     b = pl.program_id(0)
     hkv = pl.program_id(1)
+    q_off = scal_ref[0, 0]   # global offsets (ring chunks): masks cancel at
+    kv_off = scal_ref[0, 1]  # shift 0, the dropout stream must not
     seed = scal_ref[0, 2]
     shift_sub = shift_static // sub
     D = q_ref.shape[3]
@@ -612,9 +614,9 @@ def _bwd_tri_square_kernel(
                     precision=dot_precision(do, v),
                 )
                 if dropout_p > 0.0:
-                    row_g = (r * sub + jax.lax.broadcasted_iota(
+                    row_g = (q_off + r * sub + jax.lax.broadcasted_iota(
                         jnp.int32, (sub, sub), 0)).astype(jnp.uint32)
-                    col_g = (u * sub + jax.lax.broadcasted_iota(
+                    col_g = (kv_off + u * sub + jax.lax.broadcasted_iota(
                         jnp.int32, (sub, sub), 1)).astype(jnp.uint32)
                     flat = ((jnp.uint32(b) * jnp.uint32(num_q_heads)
                              + jnp.uint32(h)) * jnp.uint32(seqlen_q_real)
@@ -663,7 +665,7 @@ def _bwd_tri_square_kernel(
 
 def flash_attn_backward_tri_square(
     q, k, v, do, o, lse, lens, scalars, *,
-    softmax_scale, dropout_p=0.0, sub=256, unroll=1,
+    softmax_scale, dropout_p=0.0, sub=256,
     seqlen_q_real=None, seqlen_k_real=None, varlen=False,
     dlse=None, debug_interpret=None,
 ):
@@ -702,7 +704,7 @@ def flash_attn_backward_tri_square(
             _bwd_tri_square_kernel,
             scale=softmax_scale, sub=sub, n_sub_q=Sq // sub,
             n_sub_k=Sk // sub, shift_static=shift, group=group,
-            unroll=unroll, dropout_p=dropout_p,
+            dropout_p=dropout_p,
             seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         ),
         grid=(B, Hkv),
@@ -1135,10 +1137,13 @@ def flash_attn_backward(
                 and tri_square_ok(causal, static_skip, window, None,
                                   Sq, Sk, _sq, _sk, head_dim=D)
                 and (Hq // Hkv) * Sq * D <= 2048 * 128):
+            sub_sel = (512 if (Sq * D <= 1024 * 128 and Sq % 512 == 0
+                               and Sk % 512 == 0 and (_sk - _sq) % 512 == 0)
+                       else 256)
             return flash_attn_backward_tri_square(
                 q, k, v, do, o, lse, lens, scalars,
                 softmax_scale=softmax_scale, dropout_p=dropout_p,
-                sub=512 if Sq * D <= 1024 * 128 else 256,
+                sub=sub_sel,
                 seqlen_q_real=_sq, seqlen_k_real=_sk, varlen=varlen,
                 dlse=dlse, debug_interpret=debug_interpret,
             )

@@ -429,6 +429,8 @@ def _fwd_tri_square_kernel(
     b = pl.program_id(0)
     q_len = lens_ref[b, 0]
     kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]   # global offsets: ring chunks pass nonzero ones
+    kv_off = scal_ref[0, 1]  # (masks cancel at shift 0; dropout must not)
     seed = scal_ref[0, 2]
     h = pl.program_id(1)
     shift_sub = shift_static // sub
@@ -469,9 +471,9 @@ def _fwd_tri_square_kernel(
                 p = jnp.exp2(s2 - m_new)
                 l = l + jnp.sum(p, axis=-1, keepdims=True)
                 if dropout_p > 0.0:
-                    row_g = (r * sub + jax.lax.broadcasted_iota(
+                    row_g = (q_off + r * sub + jax.lax.broadcasted_iota(
                         jnp.int32, (sub, sub), 0)).astype(jnp.uint32)
-                    col_g = (u * sub + jax.lax.broadcasted_iota(
+                    col_g = (kv_off + u * sub + jax.lax.broadcasted_iota(
                         jnp.int32, (sub, sub), 1)).astype(jnp.uint32)
                     flat = ((b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
                              + h.astype(jnp.uint32))
@@ -490,7 +492,8 @@ def _fwd_tri_square_kernel(
                 acc = pv if acc is None else acc + pv
             m = m_new
 
-        row_g = r * sub + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+        row_g = (q_off + r * sub
+                 + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0))
         if acc is None:               # whole slice above the diagonal
             o = jnp.zeros((sub, q_ref.shape[3]), jnp.float32)
             lse = jnp.full((sub, 1), -jnp.inf, jnp.float32)

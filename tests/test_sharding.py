@@ -101,17 +101,22 @@ def test_ring_zigzag_causal_fwd_bwd():
 
 def test_ring_dropout_matches_single_device():
     """The ring's dropout counter stream is global-position based, so it is
-    bitwise the single-chip kernel's stream."""
+    bitwise the single-chip kernel's stream. S=2048 over 4 devices gives
+    256-row zigzag chunks, which routes diagonal pairs through the
+    static-triangular kernels — pinning that THEY use global offsets in the
+    dropout counter too (regression: they once used local positions)."""
     mesh = make_mesh(data=1, model=1, seq=4)
-    q, k, v, _ = generate_test_data(1, 4, 2, 1024, 1024, 64, jnp.float32)
-    fn = make_ring_attention(mesh, causal=True)  # dropout via local API:
-    from fa2_triton_tpu.parallel.ring import make_ring_attention as mra
-    fn = mra(mesh, causal=True, dropout_p=0.2)
+    q, k, v, do = generate_test_data(1, 4, 2, 2048, 2048, 64, jnp.float32)
+    fn = make_ring_attention(mesh, causal=True, dropout_p=0.2)
     # dropout seed is baked as 0 inside ring scalars; compare vs kernel with
     # seed 0.
-    out = jax.jit(fn)(q, k, v)
-    ref = flash_attn_func(q, k, v, causal=True, dropout_p=0.2, dropout_seed=0)
+    out, vjp = jax.vjp(fn, q, k, v)
+    ref, vjp_ref = jax.vjp(
+        lambda q, k, v: flash_attn_func(q, k, v, causal=True, dropout_p=0.2,
+                                        dropout_seed=0), q, k, v)
     assert _err(out, ref) < 2e-5
+    for g, g_ref, name in zip(vjp(do), vjp_ref(do), ("dq", "dk", "dv")):
+        assert _err(g, g_ref) < 5e-5, (name, _err(g, g_ref))
 
 
 def test_ring_window_matches_single_device():
