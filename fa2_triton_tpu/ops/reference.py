@@ -45,8 +45,16 @@ def construct_local_mask(
         sq = jnp.int32(seqlen_q)
     else:
         sq = query_padding_mask.sum(-1).astype(jnp.int32).reshape(-1, 1, 1, 1)
+    # -1 means INFINITE on that side (the kernel/API contract). The
+    # reference oracle (`reference_implementation.py:8-35`) substitutes a
+    # literal -1 into the right bound when left >= 0 — a latent quirk its
+    # grid never exercises (it only passes (-1,-1) or (w, 0)); ours does.
+    if window_size[0] < 0 and window_size[1] < 0:
+        return jnp.zeros((seqlen_q, seqlen_k), bool)
     if window_size[0] < 0:
         return col_idx > row_idx + sk - sq + window_size[1]
+    if window_size[1] < 0:
+        return col_idx < row_idx + sk - sq - window_size[0]
     return jnp.logical_or(
         col_idx > jnp.minimum(row_idx + sk - sq + window_size[1], sk),
         col_idx < row_idx + sk - sq - window_size[0],
