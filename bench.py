@@ -136,16 +136,182 @@ def bench_varlen(B=4, S=4096, Hq=32, Hkv=32, D=128):
             "skip_speedup": t_full / t_half}
 
 
+def run_tune(B=4, H=32, D=128):
+    """Sweep the table-driven kernel configs ON THIS CHIP and persist the
+    winners (ops/autotune.py) — the TPU analog of `triton.autotune`
+    (`/root/reference/src/forward/kernel.py:35-53`), run once offline
+    instead of on the serving path. The dispatcher (`ops/tuning.py`)
+    consults the persisted table before the baked-in v5e prior."""
+    import os
+
+    from fa2_triton_tpu.ops.autotune import detect_chip, record
+    from fa2_triton_tpu.ops.flash_fwd import (
+        flash_attn_forward, flash_attn_forward_causal_strip,
+    )
+    from fa2_triton_tpu.ops.flash_bwd import (
+        flash_attn_backward_causal_strip, flash_attn_backward_fused,
+    )
+
+    os.environ["FA2_DISABLE_TUNING_TABLE"] = "1"  # sweep from scratch
+    chip = detect_chip()
+    print(f"tuning on chip: {chip}", file=sys.stderr)
+    path = None
+    for S in (1024, 2048, 4096, 8192):
+        q, k, v = make_inputs(B, S, S, H, H, D, jnp.bfloat16)
+        qT, kT, vT = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+        lens = jnp.broadcast_to(jnp.array([[S, S]], jnp.int32), (B, 2))
+        scal = jnp.array([[0, 0, 0, 0]], jnp.int32)
+        flops = 4 * B * H * S * S * D
+
+        best, best_t = None, float("inf")
+        for bkv in (4096, 2048, 1024):
+            if bkv > S:
+                continue
+            for bq in (1024, 512, 256):
+                if bq > S or bq * bkv > 512 * 4096:
+                    continue
+                for u in ((4, 1) if bkv >= 2048 else (1,)):
+                    try:
+                        t = device_time(
+                            lambda q, k, v, bq=bq, bkv=bkv, u=u:
+                            flash_attn_forward(
+                                q, k, v, lens, scal, None, causal=False,
+                                softmax_scale=D ** -0.5, block_q=bq,
+                                block_kv=bkv, unroll_kv=u, seqlen_q_real=S,
+                                seqlen_k_real=S),
+                            qT, kT, vT, iters=10)
+                    except Exception as e:
+                        print(f"  fwd S={S} ({bq},{bkv},u{u}) failed: "
+                              f"{str(e)[:80]}", file=sys.stderr)
+                        continue
+                    print(f"  fwd S={S} ({bq},{bkv},u{u}): "
+                          f"{flops/t/1e12:.1f} TFLOP/s", file=sys.stderr,
+                          flush=True)
+                    if t < best_t:
+                        best, best_t = (bq, bkv, u), t
+        if best is not None:
+            path = record("fwd", False, D, S, best, chip=chip)
+            print(f"fwd S={S} winner {best} "
+                  f"({flops/best_t/1e12:.1f} TFLOP/s)", file=sys.stderr)
+
+        # Fused backward (non-causal): (bq, strip, sub, u).
+        do = jax.random.normal(jax.random.PRNGKey(7), qT.shape, jnp.bfloat16)
+        o, lse = flash_attn_forward(
+            qT, kT, vT, lens, scal, None, causal=False,
+            softmax_scale=D ** -0.5, block_q=512, block_kv=min(S, 4096),
+            unroll_kv=4, seqlen_q_real=S, seqlen_k_real=S)
+        bflops = flops * 2.5
+        best, best_t = None, float("inf")
+        for bkv in (4096, 2048):
+            if S % bkv and bkv != S:
+                continue
+            bkv_eff = min(bkv, S)
+            for bq in (512, 256):
+                for sub in (1024, 512):
+                    if bkv_eff % sub:
+                        continue
+                    try:
+                        t = device_time(
+                            lambda q, k, v, do, o, lse, bq=bq, bkv=bkv_eff,
+                            sub=sub: flash_attn_backward_fused(
+                                q, k, v, do, o, lse, lens, scal,
+                                causal=False, softmax_scale=D ** -0.5,
+                                block_q=bq, block_kv=bkv, sub_kv=sub,
+                                unroll=2, seqlen_q_real=S, seqlen_k_real=S),
+                            qT, kT, vT, do, o, lse, iters=8)
+                    except Exception as e:
+                        print(f"  bwd S={S} ({bq},{bkv_eff},{sub}) failed: "
+                              f"{str(e)[:80]}", file=sys.stderr)
+                        continue
+                    print(f"  bwd S={S} ({bq},{bkv_eff},{sub}): "
+                          f"{bflops/t/1e12:.1f} TFLOP/s", file=sys.stderr,
+                          flush=True)
+                    if t < best_t:
+                        best, best_t = (bq, bkv_eff, sub, 2), t
+        if best is not None:
+            path = record("fused_bwd", False, D, S, best, chip=chip)
+            print(f"fused_bwd S={S} winner {best} "
+                  f"({bflops/best_t/1e12:.1f} TFLOP/s)", file=sys.stderr)
+
+        # Causal whole-strip kernels: (sub, wide). Effective causal FLOPs
+        # are half the dense count.
+        cflops = flops // 2
+        lse_c = None
+        for kind, budget in (("strip_fwd", 8192 * 128),
+                             ("strip_bwd", 4096 * 128)):
+            if S * D > budget:
+                continue
+            best, best_t = None, float("inf")
+            for sub in (1024, 512, 256):
+                if S % sub or S < 2 * sub:
+                    continue
+                for wide in (8, 4, 2):
+                    try:
+                        if kind == "strip_fwd":
+                            t = device_time(
+                                lambda q, k, v, sub=sub, wide=wide:
+                                flash_attn_forward_causal_strip(
+                                    q, k, v, lens, scal,
+                                    softmax_scale=D ** -0.5, sub=sub,
+                                    wide=wide, seqlen_q_real=S,
+                                    seqlen_k_real=S),
+                                qT, kT, vT, iters=10)
+                        else:
+                            if lse_c is None:
+                                o_c, lse_c = flash_attn_forward_causal_strip(
+                                    qT, kT, vT, lens, scal,
+                                    softmax_scale=D ** -0.5,
+                                    seqlen_q_real=S, seqlen_k_real=S)
+                            t = device_time(
+                                lambda q, k, v, do, o, lse, sub=sub,
+                                wide=wide:
+                                flash_attn_backward_causal_strip(
+                                    q, k, v, do, o, lse, lens, scal,
+                                    softmax_scale=D ** -0.5, sub=sub,
+                                    wide=wide, seqlen_q_real=S,
+                                    seqlen_k_real=S),
+                                qT, kT, vT, do, o_c, lse_c, iters=8)
+                    except Exception as e:
+                        print(f"  {kind} S={S} ({sub},{wide}) failed: "
+                              f"{str(e)[:80]}", file=sys.stderr)
+                        continue
+                    eff = cflops * (2.5 if kind == "strip_bwd" else 1.0)
+                    print(f"  {kind} S={S} ({sub},{wide}): "
+                          f"{eff/t/1e12:.1f} TFLOP/s eff", file=sys.stderr,
+                          flush=True)
+                    if t < best_t:
+                        best, best_t = (sub, wide), t
+            if best is not None:
+                path = record(kind, True, D, S, best, chip=chip)
+                eff = cflops * (2.5 if kind == "strip_bwd" else 1.0)
+                print(f"{kind} S={S} winner {best} "
+                      f"({eff/best_t/1e12:.1f} TFLOP/s eff)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "tuning_table_written",
+        "value": 1, "unit": "table",
+        "vs_baseline": 1.0,
+    }))
+    if path is not None:
+        print(f"table: {path}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", action="store_true")
     ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--tune", action="store_true",
+                    help="sweep kernel configs on this chip and persist "
+                         "them for the dispatcher (ops/autotune.py)")
     ap.add_argument("--mode", default="fwd",
                     choices=["fwd", "fwdbwd", "decode", "varlen"])
     ap.add_argument("--seqlen", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--heads", type=int, default=32)
     args = ap.parse_args()
+
+    if args.tune:
+        run_tune()
+        return
 
     if args.mode == "varlen":
         r = bench_varlen()

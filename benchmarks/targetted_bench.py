@@ -43,6 +43,10 @@ def main():
         "ours": functools.partial(flash_attn_func, causal=CAUSAL),
         "xla-dense": functools.partial(xla_attention, causal=CAUSAL),
         "stock-pallas": functools.partial(jax_flash_attention, causal=CAUSAL),
+        # Same kernel with swept block sizes — the honest comparison point
+        # (its defaults are all-128 blocks at this shape).
+        "stock-tuned": functools.partial(
+            jax_flash_attention, causal=CAUSAL, tuned=True),
     }
 
     for name, fn in kernels.items():

@@ -9,7 +9,19 @@ multi-chip sharding (tensor-parallel heads, ring sequence parallelism).
 Public API mirrors the reference (`/root/reference/src/__init__.py:1-4`).
 """
 
-from fa2_triton_tpu.ops import flash_attn_func, flash_attn_reference
+from fa2_triton_tpu.ops import (
+    flash_attn_func,
+    flash_attn_reference,
+    flash_attn_varlen_func,
+    pack_padded_batch,
+    unpack_padded_batch,
+)
 
-__all__ = ["flash_attn_func", "flash_attn_reference"]
+__all__ = [
+    "flash_attn_func",
+    "flash_attn_reference",
+    "flash_attn_varlen_func",
+    "pack_padded_batch",
+    "unpack_padded_batch",
+]
 __version__ = "0.1.0"

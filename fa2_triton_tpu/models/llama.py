@@ -242,6 +242,92 @@ def prefill_forward(
     return _mm(x, params["lm_head"]).astype(jnp.float32), kvs
 
 
+def chunk_prefill_step(
+    params: Params,
+    tokens: jax.Array,        # [1, C] int32 — one padded prompt chunk
+    chunk_len: jax.Array,     # [1] int32 — true tokens in this chunk
+    cache_len: jax.Array,     # [1] int32 — tokens already in the slot cache
+    cfg: LlamaConfig,
+    caches,                   # single-slot runtime cache views (B == 1)
+    kv_cfg,                   # runtime.kv_cache.KVCacheConfig
+    psum_axis: Optional[str] = None,
+):
+    """One BOUNDED prefill chunk over the serving KV cache: the chunk's
+    queries attend to the already-cached prefix plus the chunk itself
+    (causal, via the forward kernel's global q_offset — the same contract
+    `flash_attn_with_kv_cache` uses), and the chunk's k/v are written at
+    `cache_len`. Long prompts stop stalling decode: the engine interleaves
+    one chunk per step with the batched decode (`runtime/serving.py`).
+
+    Returns (logits of the chunk's LAST true token [1, V], new_caches).
+    """
+    from fa2_triton_tpu.ops.flash_fwd import flash_attn_forward
+    from fa2_triton_tpu.runtime.kv_cache import write_kv
+    from fa2_triton_tpu.utils import round_up_to_multiple
+
+    B, C = tokens.shape
+    x = params["embed"][tokens]
+    cl = cache_len[0]
+    positions = cl + jnp.arange(C, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cs, sn = cos[:, :, None, :], sin[:, :, None, :]
+    total = cl + chunk_len[0]
+    S_max = caches[0]["k"].shape[2]
+    lens = jnp.broadcast_to(jnp.stack([total, total]).reshape(1, 2), (B, 2))
+    scalars = jnp.stack(
+        [cl, jnp.int32(0), jnp.int32(0), jnp.int32(0)]).reshape(1, 4)
+    Dp = kv_cfg.head_dim_padded
+    Cp = round_up_to_multiple(C, 128)
+    # block_kv must divide the (lane-padded) cache extent; S_max is a
+    # multiple of 128, so 128 always qualifies.
+    block_kv = kv_cfg.block_kv
+    while S_max % block_kv:
+        block_kv //= 2
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = apply_rope(
+            _mm(h, layer["wq"]).reshape(B, C, cfg.n_heads, cfg.hd), cs, sn)
+        k = apply_rope(
+            _mm(h, layer["wk"]).reshape(B, C, cfg.n_kv_heads, cfg.hd), cs, sn)
+        v = _mm(h, layer["wv"]).reshape(B, C, cfg.n_kv_heads, cfg.hd)
+        cache = write_kv(cache, k, v, cache_len, kv_cfg)
+        new_caches.append(cache)
+        kc, vc = cache["k"], cache["v"]
+        if kv_cfg.qdtype is not None:
+            # Chunk attention runs on the dequantized prefix (the fused
+            # dequant lives in the single-row decode kernel; a C-row chunk
+            # reuses the training-grade forward kernel instead).
+            kc = (kc.astype(jnp.float32)
+                  * jnp.swapaxes(cache["k_scale"], 2, 3)).astype(
+                      kv_cfg.compute_dtype)
+            vc = (vc.astype(jnp.float32)
+                  * jnp.swapaxes(cache["v_scale"], 2, 3)).astype(
+                      kv_cfg.compute_dtype)
+        qT = jnp.transpose(q, (0, 2, 1, 3))      # BHSD
+        if Dp != cfg.hd:
+            qT = jnp.pad(qT, ((0, 0), (0, 0), (0, 0), (0, Dp - cfg.hd)))
+        if Cp != C:
+            qT = jnp.pad(qT, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+        o, _ = flash_attn_forward(
+            qT.astype(kv_cfg.compute_dtype), kc, vc, lens, scalars, None,
+            causal=True, softmax_scale=cfg.hd ** -0.5,
+            block_q=min(128, Cp), block_kv=block_kv,
+            seqlen_q_real=C, seqlen_k_real=S_max,
+            static_skip=False, varlen=True,
+        )
+        attn = jnp.transpose(o[:, :, :C, :cfg.hd], (0, 2, 1, 3))
+        x = x + _psum(
+            _mm(attn.reshape(B, C, cfg.n_heads * cfg.hd).astype(x.dtype),
+                layer["wo"]),
+            psum_axis,
+        )
+        x = _mlp_block(layer, x, cfg, psum_axis)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    last = jax.lax.dynamic_slice_in_dim(x, chunk_len[0] - 1, 1, axis=1)[:, 0]
+    return _mm(last, params["lm_head"]).astype(jnp.float32), new_caches
+
+
 def decode_step(
     params: Params,
     tokens: jax.Array,        # [B] int32 — one token per slot

@@ -135,6 +135,7 @@ def flash_attn_func(
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    fp16_compute_dtype: Optional[jnp.dtype] = None,
 ):
     """FlashAttention-2 on TPU (Pallas), differentiable via `jax.custom_vjp`.
 
@@ -169,6 +170,10 @@ def flash_attn_func(
         block_sizes: optional BlockSizes override.
         return_lse: also return the logsumexp [batch, num_heads_q, seqlen_q]
             in log-base-2 units, fp32 (kernel LSE contract, SURVEY.md §2.2).
+        fp16_compute_dtype: for float16 inputs only — the dtype the kernels
+            compute in. Default float32 (precise, fp16 runs at fp32 speed);
+            jnp.bfloat16 opts into full-rate MXU compute at
+            reference-comparable low precision.
 
     Returns:
         output [batch, seqlen_q, num_heads_q, head_dim] (and lse if requested).
@@ -178,10 +183,16 @@ def flash_attn_func(
         # Mosaic (the TPU kernel compiler) has no f16 type — the MXU is
         # bf16-native — so fp16 I/O (which the reference's whole test grid
         # uses, `/root/reference/tests/test_fwd_bwd.py:13`) is honored at
-        # the API boundary: compute in f32 (strictly more precise than
-        # fp16-native arithmetic, so the FA tolerance contract holds) and
-        # cast the output back. bf16 is the fast path on TPU.
-        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+        # the API boundary: by default compute in f32 (strictly more
+        # precise than fp16-native arithmetic, so the FA tolerance contract
+        # holds) and cast the output back. Users who want bf16-tier speed
+        # at reference-comparable (low) precision can opt in with
+        # fp16_compute_dtype=jnp.bfloat16 (bf16 has fp16's 2^-8-level
+        # mantissa error profile but wider exponent — no overflow hazard).
+        cd = jnp.float32 if fp16_compute_dtype is None else fp16_compute_dtype
+        assert cd in (jnp.float32, jnp.bfloat16), \
+            "fp16_compute_dtype must be float32 (precise) or bfloat16 (fast)"
+        q, k, v = (x.astype(cd) for x in (q, k, v))
         if attention_bias is not None and attention_bias.dtype == jnp.float16:
             attention_bias = attention_bias.astype(jnp.float32)
     B, Sq, Hq, D = q.shape

@@ -1,0 +1,127 @@
+"""Persisted per-chip tuning tables — the runtime-autotune analog.
+
+The reference autotunes per shape at runtime via `triton.autotune`
+(`/root/reference/src/forward/kernel.py:35-53`,
+`src/backward/kernel.py:34-53`) with a seqlen-bucketed cache key
+(`src/forward/caller.py:105-106`). A TPU grid is compiled ahead of time, so
+runtime autotuning would recompile on the serving path; instead this module
+makes the static tables in `ops/tuning.py` PORTABLE:
+
+* the baked-in constants are the measured v5e prior;
+* `bench.py --tune` sweeps the production shapes ON THE CURRENT CHIP and
+  persists the winners to a JSON table keyed by
+  (kind, causal, head_dim, seqlen bucket);
+* `choose_block_sizes` / `choose_fused_bwd` consult the persisted table for
+  the detected chip first and fall back to the v5e prior — with a one-time
+  warning when running on a chip that has neither been swept nor matches
+  the prior.
+
+Table location: `$FA2_TUNING_DIR` (default `~/.cache/fa2_triton_tpu`) /
+`tuning_<chip>.json`.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import warnings
+from pathlib import Path
+from typing import Optional
+
+
+def _tuning_dir() -> Path:
+    return Path(os.environ.get(
+        "FA2_TUNING_DIR", os.path.expanduser("~/.cache/fa2_triton_tpu")))
+
+
+@functools.lru_cache(maxsize=None)
+def detect_chip() -> str:
+    """Normalized accelerator name ('v5e', 'v4', 'v5p', 'v6e', 'cpu', ...).
+
+    Never initializes a backend implicitly at import time — call sites are
+    host-level dispatch (not traced), where jax.devices() is already live.
+    """
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # no backend at all — tuning tables are moot
+        return "unknown"
+    # device_kind strings in the wild: 'TPU v4', 'TPU v5 lite', 'TPU v5e',
+    # 'TPU v5p', 'TPU v6 lite', 'cpu', 'Tesla ...'.
+    kind = kind.replace("tpu", "").strip()
+    kind = kind.replace(" lite", "e").replace("lite", "e")
+    kind = kind.replace(" ", "")
+    return kind or "cpu"
+
+
+def _bucket(seqlen: int) -> int:
+    """Power-of-two seqlen bucket — the TPU analog of the reference's
+    `max_seqlen // 128` autotune cache key coarsening."""
+    b = 128
+    while b < seqlen:
+        b *= 2
+    return b
+
+
+def _key(kind: str, causal: bool, head_dim: int, seqlen: int) -> str:
+    return f"{kind}:{int(causal)}:{head_dim}:{_bucket(seqlen)}"
+
+
+@functools.lru_cache(maxsize=8)
+def _load_table(chip: str) -> dict:
+    path = _tuning_dir() / f"tuning_{chip}.json"
+    if path.exists():
+        try:
+            return json.loads(path.read_text())
+        except (json.JSONDecodeError, OSError) as e:
+            warnings.warn(f"ignoring unreadable tuning table {path}: {e}")
+    return {}
+
+
+def lookup(kind: str, causal: bool, head_dim: int, seqlen: int,
+           chip: Optional[str] = None) -> Optional[tuple]:
+    """Persisted override for a kernel config, or None.
+
+    kind: 'fwd' -> (block_q, block_kv, unroll_kv);
+          'fused_bwd' -> (block_q, block_kv, sub_kv, unroll);
+          'strip_fwd'/'strip_bwd' -> (sub, wide).
+    """
+    if os.environ.get("FA2_DISABLE_TUNING_TABLE"):
+        return None
+    chip = chip or detect_chip()
+    entry = _load_table(chip).get(_key(kind, causal, head_dim, seqlen))
+    return tuple(entry) if entry is not None else None
+
+
+def record(kind: str, causal: bool, head_dim: int, seqlen: int,
+           config: tuple, chip: Optional[str] = None) -> Path:
+    """Persist a swept winner; returns the table path."""
+    chip = chip or detect_chip()
+    path = _tuning_dir() / f"tuning_{chip}.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    table = dict(_load_table(chip))
+    table[_key(kind, causal, head_dim, seqlen)] = list(config)
+    path.write_text(json.dumps(table, indent=1, sort_keys=True))
+    _load_table.cache_clear()
+    return path
+
+
+_PRIOR_CHIP = "v5e"  # the chip the baked-in tables in tuning.py were swept on
+_warned_chips: set = set()
+
+
+def warn_if_unswept() -> None:
+    """One-time warning when the block tables are a cross-chip guess."""
+    chip = detect_chip()
+    if chip in (_PRIOR_CHIP, "cpu", "unknown") or chip in _warned_chips:
+        return
+    if _load_table(chip):
+        return  # has its own swept table
+    _warned_chips.add(chip)
+    warnings.warn(
+        f"fa2_triton_tpu block-size tables were swept on {_PRIOR_CHIP}; "
+        f"running on {chip} with unvalidated configs. Run "
+        f"`python bench.py --tune` once to sweep and persist a "
+        f"{chip}-specific table."
+    )

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fa2_triton_tpu.ops.autotune import lookup as autotune_lookup
 from fa2_triton_tpu.utils import LOG2E, dot_precision, interpret_mode
 from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
 
@@ -550,6 +551,228 @@ def _bwd_fused_kernel(
     def _write_dkdv():
         dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_causal_strip_kernel(
+    lens_ref, scal_ref,
+    q_ref,        # (1, 1, sub, D) TRUE q — one row block
+    k_ref,        # (1, 1, Sk, D) prescaled by scale*log2e — whole strip
+    v_ref,        # (1, 1, Sk, D)
+    do_ref,       # (1, 1, sub, D)
+    lse_ref, delta_ref,   # (1, 1, sub, 1)
+    tri_ref,      # (1, 1, sub, sub) additive 0/MASK_LOG2 triangle
+    dq_ref,       # (1, 1, sub, D) — written every step
+    dk_ref, dv_ref,       # (1, 1, Sk, D) — written on the last step
+    dk_scr, dv_scr,       # (Sk, D) f32 whole-strip accumulators
+    *,
+    scale, sub, wide, shift_sub, group, num_q_blocks,
+    dropout_p, seqlen_q_real, seqlen_k_real, num_q_heads,
+):
+    """Causal backward with the whole KV strip resident: grid (B, Hkv,
+    group * nq). The backward sibling of `flash_fwd._fwd_causal_strip_kernel`
+    (see its docstring for why this beats the zigzag schedule): the K/V
+    BlockSpec index is constant per (b, hkv) so the strip is DMA'd once,
+    each grid step finishes one (group member, q row block) — dq accumulates
+    in a fori_loop carrier and is emitted immediately; dk/dv accumulate into
+    whole-strip f32 scratch across the group*nq steps (same deterministic
+    single-writer ownership as the fused kernel) — and the
+    strictly-below-diagonal region is walked mask-free in `wide`-sub groups
+    with exactly one constant-triangle diagonal tile per row. 5 matmuls per
+    tile (qk, dp, dv, dk, dq), like the reference's fused launch
+    (`/root/reference/src/backward/kernel.py:154-182`).
+
+    Dead rows (padded tails: lse == -inf) are neutralized by sanitizing lse
+    to +huge so p underflows to zero; under the launcher-checked alignment
+    no other edge masks are needed (valid rows only reach cols
+    <= row + shift < sk_real).
+    """
+    b, hkv, e = (pl.program_id(i) for i in range(3))
+    iq = e % num_q_blocks
+    g = e // num_q_blocks
+    h = hkv * group + g
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+    D = q_ref.shape[3]
+
+    @pl.when(e == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse_row = lse_ref[0, 0]
+    lse_row = jnp.where(jnp.isfinite(lse_row), lse_row, 1e30)
+    delta_row = delta_ref[0, 0]
+    last_u = iq + shift_sub
+    row0 = iq * sub
+
+    def _tile(col0, dq_acc, *, tri):
+        k = k_ref[0, 0, pl.ds(col0, sub)]
+        v = v_ref[0, 0, pl.ds(col0, sub)]
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k),
+        )
+        if tri:
+            s2 = s2 + tri_ref[0, 0].astype(jnp.float32)
+        p = jnp.exp2(s2 - lse_row)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do, v),
+        )
+        if dropout_p > 0.0:
+            row_g = (q_off + row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (sub, sub), 0)).astype(jnp.uint32)
+            col_g = (kv_off + col0 + jax.lax.broadcasted_iota(
+                jnp.int32, (sub, sub), 1)).astype(jnp.uint32)
+            flat = ((b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
+                     + h.astype(jnp.uint32)) * jnp.uint32(seqlen_q_real)
+                    + row_g) * jnp.uint32(seqlen_k_real) + col_g
+            bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+            keep = bits >= jnp.uint32(dropout_threshold(dropout_p))
+            inv = 1.0 / (1.0 - dropout_p)
+            p_drop = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
+        else:
+            p_drop = p
+        ds = p * (dp - delta_row)
+        csl = pl.ds(col0, sub)
+        dv_scr[csl] += jax.lax.dot_general(
+            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(do),
+        )
+        dk_scr[csl] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q),
+        )
+        return dq_acc + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(k),
+        )
+
+    dq_acc = jnp.zeros((sub, D), jnp.float32)
+    n_groups = last_u // wide
+
+    def _group_body(gi, dq_acc):
+        base = gi * (wide * sub)
+        for i in range(wide):
+            dq_acc = _tile(base + i * sub, dq_acc, tri=False)
+        return dq_acc
+
+    dq_acc = jax.lax.fori_loop(0, n_groups, _group_body, dq_acc)
+
+    def _tail_body(u, dq_acc):
+        return _tile(u * sub, dq_acc, tri=False)
+
+    dq_acc = jax.lax.fori_loop(n_groups * wide, last_u, _tail_body, dq_acc)
+    dq_acc = _tile(last_u * sub, dq_acc, tri=True)
+
+    # dq = scale * (ds @ k_true); k carried scale*log2e, so divide log2e out.
+    dq_ref[0, 0] = (dq_acc * (1.0 / LOG2E)).astype(dq_ref.dtype)
+
+    @pl.when(e == group * num_q_blocks - 1)
+    def _write_dkdv():
+        dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def flash_attn_backward_causal_strip(
+    q, k, v, do, o, lse, lens, scalars, *,
+    softmax_scale, dropout_p=0.0, sub=512, wide=4,
+    seqlen_q_real=None, seqlen_k_real=None,
+    dlse=None, debug_interpret=None,
+):
+    """Launch the whole-strip causal backward (see kernel docstring)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    shift = sk_real - sq_real
+    assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0 and shift >= 0
+    assert Sq + shift <= Sk
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    c = softmax_scale * LOG2E
+    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if dlse is not None:
+        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+
+    from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
+
+    nq = Sq // sub
+
+    def row_index(b, hkv, e):
+        return (b, hkv * group + e // nq, e % nq, 0)
+
+    def kv_index(b, hkv, e):
+        return (b, hkv, 0, 0)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_causal_strip_kernel,
+            scale=softmax_scale, sub=sub, wide=wide,
+            shift_sub=shift // sub, group=group, num_q_blocks=nq,
+            dropout_p=dropout_p,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+        ),
+        grid=(B, Hkv, group * nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, sub, D), row_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+            pl.BlockSpec((1, 1, sub, D), row_index),
+            pl.BlockSpec((1, 1, sub, 1), row_index),
+            pl.BlockSpec((1, 1, sub, 1), row_index),
+            pl.BlockSpec((1, 1, sub, sub), lambda b, hkv, e: (0, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, sub, D), row_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+            pl.BlockSpec((1, 1, Sk, D), kv_index),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Sk, D), jnp.float32),
+            pltpu.VMEM((Sk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k_p, v, do, lse, delta, make_tri_mask(sub, sub))
+    return dq, dk, dv
+
+
+def bwd_causal_strip_ok(causal, static_skip, window, bias, varlen,
+                        softcap, Sq, Sk, sq_real, sk_real, head_dim,
+                        sub=512, vmem_budget=4096 * 128):
+    """Eligibility for the whole-strip causal backward: the K/V strips plus
+    the two whole-strip f32 dk/dv scratch accumulators must fit VMEM
+    (~12 bytes/element at bf16 I/O -> Sk*D <= 4096*128 ~ 6.3MB), with the
+    same alignment conditions as the forward strip kernel."""
+    shift = sk_real - sq_real
+    return (causal and static_skip and window == (-1, -1) and bias is None
+            and not varlen and softcap == 0.0
+            and Sq % sub == 0 and Sk % sub == 0 and Sq >= 2 * sub
+            and shift >= 0 and shift % sub == 0 and Sq + shift <= Sk
+            and Sk * head_dim <= vmem_budget)
 
 
 def _bwd_tri_square_kernel(
@@ -1145,6 +1368,25 @@ def flash_attn_backward(
                 softmax_scale=softmax_scale, dropout_p=dropout_p,
                 sub=sub_sel,
                 seqlen_q_real=_sq, seqlen_k_real=_sk, varlen=varlen,
+                dlse=dlse, debug_interpret=debug_interpret,
+            )
+        # Whole-strip causal backward (grid (B, Hkv, group*nq), K/V strips
+        # and dk/dv scratch resident): replaces the zigzag fused schedule
+        # for causal shapes whose strip fits VMEM.
+        if bwd_causal_strip_ok(causal, static_skip, window, None, varlen,
+                               softcap, Sq, Sk, _sq, _sk, head_dim=D):
+            sub_s, wide_s = 512, 4  # v5e-swept default
+            ov = autotune_lookup("strip_bwd", True, D, Sk)
+            if ov is not None:
+                so, wo = ov
+                if (Sq % so == 0 and Sk % so == 0
+                        and (_sk - _sq) % so == 0 and Sq >= 2 * so):
+                    sub_s, wide_s = so, wo
+            return flash_attn_backward_causal_strip(
+                q, k, v, do, o, lse, lens, scalars,
+                softmax_scale=softmax_scale, dropout_p=dropout_p,
+                sub=sub_s, wide=wide_s,
+                seqlen_q_real=_sq, seqlen_k_real=_sk,
                 dlse=dlse, debug_interpret=debug_interpret,
             )
         cfg_f = choose_fused_bwd(Sq, Sk, D, causal)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fa2_triton_tpu.ops.autotune import lookup as autotune_lookup
 from fa2_triton_tpu.utils import LOG2E, dot_precision, interpret_mode
 from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
 
@@ -566,6 +567,209 @@ def flash_attn_forward_tri_square(
     return o, lse
 
 
+def _fwd_causal_strip_kernel(
+    # SMEM scalars
+    lens_ref, scal_ref,
+    q_ref,        # (1, 1, bq, D) — one query row block (prescaled)
+    k_ref,        # (1, 1, Sk, D) — the WHOLE (padded) KV strip, resident
+    v_ref,        # (1, 1, Sk, D)
+    tri_ref,      # (1, 1, bq, bq) additive 0/MASK_LOG2 triangle
+    o_ref, lse_ref,
+    *,
+    sub: int,             # == block_q; diagonal tile granularity
+    wide: int,            # sub-tiles per mask-free group (independent chains)
+    shift_sub: int,       # (sk_real - sq_real) // sub, static
+    dropout_p: float,
+    seqlen_q_real: int, seqlen_k_real: int, num_q_heads: int,
+):
+    """Causal forward with the whole KV strip resident: grid (B, Hq, nq).
+
+    Why this beats the zigzag schedule (v5e: causal fwd S=4096 ~98 TFLOP/s
+    vs non-causal 152): the zigzag's (1024, 1024) steps pay the online-
+    softmax scratch read-modify-write and the per-grid-step bookkeeping once
+    per 1024 KV columns, while the non-causal peak config (512, 4096, u4)
+    pays them once per 4096 columns. Here the K/V BlockSpec index is
+    constant per (b, h) — the strip is DMA'd once and stays in VMEM — and
+    each grid step finishes one whole query row block: the (m, l, acc)
+    state lives in fori_loop carriers (no cross-step scratch machine), the
+    strictly-below-diagonal region is walked in `wide`-sub groups with one
+    shared-max state update per group (mask-free bodies, independent
+    MXU/VPU chains like the main kernel's unroll), and exactly one
+    constant-triangle diagonal tile per row closes it out. Work is
+    triangular across grid steps, which costs nothing on the sequential TPU
+    grid — total work is what matters, and no step computes a masked-out
+    tile. The reference's full-block/masked-block loop split
+    (`/root/reference/src/forward/kernel.py:166-253`) is the same idea one
+    level down.
+
+    Preconditions (launcher-checked): static shift >= 0, shift % sub == 0,
+    no bias/window/varlen, Sq % sub == 0, Sk % sub == 0, and the last row
+    block's diagonal tile inside the strip (Sq + shift <= Sk).
+    """
+    b, h, iq = (pl.program_id(i) for i in range(3))
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+    D = q_ref.shape[3]
+    q = q_ref[0, 0]                      # (sub, D), prescaled by scale*log2e
+    last_u = iq + shift_sub              # the diagonal sub-tile index
+
+    def _dropout(p, row0, col0):
+        row_g = (q_off + row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (sub, sub), 0)).astype(jnp.uint32)
+        col_g = (kv_off + col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (sub, sub), 1)).astype(jnp.uint32)
+        flat = ((b.astype(jnp.uint32) * jnp.uint32(num_q_heads)
+                 + h.astype(jnp.uint32)) * jnp.uint32(seqlen_q_real)
+                + row_g) * jnp.uint32(seqlen_k_real) + col_g
+        bits = counter_hash_uint32(seed.astype(jnp.uint32), flat)
+        return jnp.where(
+            bits >= jnp.uint32(dropout_threshold(dropout_p)), p, 0.0)
+
+    row0 = iq * sub
+
+    def _update(carry, s2s, col0s):
+        """Shared-max online softmax update over independent sub-tiles."""
+        m, l, acc = carry
+        m_new = m
+        for s2 in s2s:
+            m_new = jnp.maximum(m_new, jnp.max(s2, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m - m_new)
+        acc = acc * alpha
+        l = l * alpha
+        for s2, col0 in zip(s2s, col0s):
+            p = jnp.exp2(s2 - m_new)
+            l = l + jnp.sum(p, axis=-1, keepdims=True)
+            if dropout_p > 0.0:
+                p = _dropout(p, row0, col0)
+            v = v_ref[0, 0, pl.ds(col0, sub)]
+            acc = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(v),
+            )
+        return m_new, l, acc
+
+    def _s2(col0):
+        k = k_ref[0, 0, pl.ds(col0, sub)]
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(q, k),
+        )
+
+    carry = (
+        jnp.full((sub, 1), MASK_LOG2, jnp.float32),
+        jnp.zeros((sub, 1), jnp.float32),
+        jnp.zeros((sub, D), jnp.float32),
+    )
+
+    # Phase 1: strictly-below groups of `wide` subs — mask-free, one state
+    # update per group.
+    n_groups = last_u // wide
+
+    def _group_body(g, carry):
+        base = g * (wide * sub)
+        col0s = [base + i * sub for i in range(wide)]
+        return _update(carry, [_s2(c) for c in col0s], col0s)
+
+    carry = jax.lax.fori_loop(0, n_groups, _group_body, carry)
+
+    # Phase 2: leftover single subs below the diagonal (< wide of them).
+    def _tail_body(u, carry):
+        col0 = u * sub
+        return _update(carry, [_s2(col0)], [col0])
+
+    carry = jax.lax.fori_loop(n_groups * wide, last_u, _tail_body, carry)
+
+    # Phase 3: the diagonal tile — one constant-triangle add.
+    diag0 = last_u * sub
+    s2d = _s2(diag0) + tri_ref[0, 0].astype(jnp.float32)
+    m, l, acc = _update(carry, [s2d], [diag0])
+
+    # Finalize (same dead-row convention as _fwd_kernel's _write_output).
+    l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+    if dropout_p > 0.0:
+        l_inv = l_inv / (1.0 - dropout_p)
+    o = acc * l_inv
+    lse = m + jnp.log2(l)
+    row_g = (q_off + row0
+             + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0))
+    shift = kv_len - q_len
+    valid = jnp.logical_and(row_g < q_len, row_g + shift >= 0)
+    o_ref[0, 0] = jnp.where(valid, o, 0.0).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.where(valid, lse, -jnp.inf).astype(lse_ref.dtype)
+
+
+def flash_attn_forward_causal_strip(
+    q, k, v, lens, scalars, *,
+    softmax_scale, dropout_p=0.0, sub=512, wide=4,
+    seqlen_q_real=None, seqlen_k_real=None,
+    q_prescaled=False, debug_interpret=None,
+):
+    """Launch the whole-strip causal forward (see kernel docstring)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    shift = sk_real - sq_real
+    assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0 and shift >= 0
+    assert Sq + shift <= Sk
+    if not q_prescaled:
+        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    kernel = functools.partial(
+        _fwd_causal_strip_kernel,
+        sub=sub, wide=wide, shift_sub=shift // sub, dropout_p=dropout_p,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, Sq // sub),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, sub, D), lambda b, h, iq: (b, h, iq, 0)),
+            # Constant index per (b, h): the strip is fetched once and kept.
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, iq: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, iq: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, sub, sub), lambda b, h, iq: (0, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, sub, D), lambda b, h, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, sub, 1), lambda b, h, iq: (b, h, iq, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k, v, make_tri_mask(sub, sub))
+    return o, lse
+
+
+def causal_strip_ok(causal, static_skip, window, bias, varlen, Sq, Sk,
+                    sq_real, sk_real, head_dim, sub=512,
+                    vmem_budget=8192 * 128):
+    """Eligibility for the whole-strip causal kernel: K and V strips must
+    fit VMEM together (Sk * head_dim each, bf16; budget leaves room for the
+    q/o/acc tiles), the shift must be static, non-negative and sub-aligned,
+    and the final diagonal tile must sit inside the strip."""
+    shift = sk_real - sq_real
+    return (causal and static_skip and window == (-1, -1) and bias is None
+            and not varlen
+            and Sq % sub == 0 and Sk % sub == 0 and Sq >= 2 * sub
+            and shift >= 0 and shift % sub == 0 and Sq + shift <= Sk
+            and Sk * head_dim <= vmem_budget)
+
+
 def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
                   sq_real, sk_real, head_dim=128, sub=256, max_seq=2048):
     """Eligibility for the static-triangular small-S causal kernel.
@@ -611,6 +815,7 @@ def flash_attn_forward(
     q_prescaled: bool = False,
     zigzag: Optional[bool] = None,
     tri_square: Optional[bool] = None,
+    causal_strip: Optional[bool] = None,
     debug_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Launch the forward kernel on BHSD tensors already padded to blocks.
@@ -642,6 +847,30 @@ def flash_attn_forward(
             # (88.9 TFLOP/s), hurts at 2048 (u1: 97.6).
             sub=256, unroll=4 if Sq <= 1024 else 1,
             seqlen_q_real=sq_real, seqlen_k_real=sk_real, varlen=varlen,
+            q_prescaled=q_prescaled, debug_interpret=debug_interpret,
+        )
+
+    # Longer causal sequences (S >= 4096 at D=128, where tri_square's VMEM
+    # and compile budgets run out) use the whole-strip causal kernel when
+    # the strip fits VMEM.
+    ok_strip = causal_strip_ok(causal, static_skip, window, bias, varlen,
+                               Sq, Sk, sq_real, sk_real, head_dim=D)
+    if causal_strip if causal_strip is not None else ok_strip:
+        assert ok_strip, "causal_strip forced but preconditions not met"
+        # v5e-swept default; a persisted per-chip table (bench.py --tune)
+        # overrides when its sub honors the same alignment preconditions.
+        sub_s, wide_s = 512, 4
+        ov = autotune_lookup("strip_fwd", True, D, Sk)
+        if ov is not None:
+            so, wo = ov
+            if (Sq % so == 0 and Sk % so == 0
+                    and (sk_real - sq_real) % so == 0 and Sq >= 2 * so):
+                sub_s, wide_s = so, wo
+        return flash_attn_forward_causal_strip(
+            q, k, v, lens, scalars,
+            softmax_scale=softmax_scale, dropout_p=dropout_p,
+            sub=sub_s, wide=wide_s,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real,
             q_prescaled=q_prescaled, debug_interpret=debug_interpret,
         )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from fa2_triton_tpu.ops.autotune import lookup, warn_if_unswept
 from fa2_triton_tpu.utils import round_up_to_multiple
 
 
@@ -64,6 +65,26 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
     S>=4096 to the zigzag schedule at (1024, 1024, u1) ~87; bias tiles
     (block_q x block_kv f32, double-buffered) force smaller blocks.
     """
+    # Portability: the constants below are the v5e-swept prior; a persisted
+    # per-chip table from `bench.py --tune` overrides them (ops/autotune.py).
+    warn_if_unswept()
+    if not (has_bias or has_window or has_varlen):
+        ov = lookup("fwd", causal, head_dim_padded, max(seqlen_q, seqlen_k))
+        if ov is not None:
+            bq, bkv, u = ov
+            bq = min(bq, round_up_to_multiple(max(seqlen_q, 1), 128))
+            bkv = min(bkv, round_up_to_multiple(max(seqlen_k, 1), 128))
+            if head_dim_padded <= 128:
+                bq_b, bkv_b = (1024, 1024) if causal else (512, 2048)
+                bq_b = min(bq_b, round_up_to_multiple(max(seqlen_q, 1), 128))
+                bkv_b = min(bkv_b, round_up_to_multiple(max(seqlen_k, 1), 128))
+                bq_b, bkv_b = _compatible(bq, bq_b), _compatible(bkv, bkv_b)
+            else:
+                bq_b = _divisor_block(bq, 256)
+                bkv_b = _divisor_block(bkv, 256)
+            return BlockSizes(block_q=bq, block_kv=bkv, block_q_bwd=bq_b,
+                              block_kv_bwd=bkv_b, unroll_kv=u,
+                              unroll_bwd=1 if causal else 2)
     # Budget shrinks as the (padded) head dim grows: acc/q/k/v tiles scale
     # linearly in head_dim, the s/p tile scales with block_q*block_kv.
     unroll_kv = 4
@@ -150,6 +171,12 @@ def choose_fused_bwd(seqlen_q_pad: int, seqlen_k_pad: int,
     """
     if head_dim_padded > 256:
         return None  # unswept
+    ov = lookup("fused_bwd", causal, head_dim_padded, seqlen_k_pad)
+    if ov is not None:
+        bq_o, bkv_o, sub_o, u_o = ov
+        if (seqlen_q_pad % bq_o == 0 and seqlen_k_pad % bkv_o == 0
+                and bkv_o % sub_o == 0):
+            return bq_o, bkv_o, sub_o, u_o
     # KV strip: whole sequence when it fits the f32 dk/dv scratch budget
     # (2 * bkv * Dp * 4B <= 4MB -> 4096 at D=128, 2048 at D=256; the D=256
     # sweep confirms: fused (512, 2048, 512) = 148 TFLOP/s bwd vs 132

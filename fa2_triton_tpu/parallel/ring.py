@@ -96,9 +96,29 @@ def _from_bhsd(x):
 
 def _scalars(q_off, kv_off, seed):
     return jnp.stack(
-        [q_off.astype(jnp.int32), kv_off.astype(jnp.int32),
-         jnp.int32(seed), jnp.int32(0)]
+        [jnp.asarray(q_off, jnp.int32), jnp.asarray(kv_off, jnp.int32),
+         jnp.asarray(seed, jnp.int32), jnp.int32(0)]
     ).reshape(1, 4)
+
+
+def _resolve_seed(dropout_p, dropout_seed, dropout_rng):
+    """Mirror `flash_attn_func`'s raise-if-missing dropout seed contract
+    (`ops/attention.py`): a pure function cannot draw the reference's
+    per-call random seed, and a silent fixed default would reuse one dropout
+    mask across every layer and step."""
+    if dropout_p > 0.0:
+        if dropout_seed is not None:
+            return jnp.asarray(dropout_seed, jnp.int32)
+        if dropout_rng is not None:
+            return jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        raise ValueError(
+            "dropout_p > 0 requires dropout_seed or dropout_rng (ring "
+            "attention shares flash_attn_func's seed contract; a baked-in "
+            "seed would repeat the same dropout mask every layer and step)."
+        )
+    return jnp.asarray(dropout_seed if dropout_seed is not None else 0,
+                       jnp.int32)
 
 
 def zigzag_permute(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
@@ -211,6 +231,12 @@ def _ring_forward_impl(cfg: RingConfig, q, k, v, seed=0):
     perm = [(i, (i + 1) % n) for i in range(n)]
     k_cur, v_cur = kT, vT
     for step in range(n):
+        # Prefetch the next hop's KV BEFORE computing this hop: the permute
+        # reads only k_cur/v_cur, and nothing below depends on k_nxt/v_nxt,
+        # so XLA can run the ICI transfer concurrently with the kernels.
+        if step != n - 1:
+            k_nxt = jax.lax.ppermute(k_cur, cfg.axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, cfg.axis_name, perm)
         src = (idx - step) % n
         kv_halves, _ = _halves(cfg, k_cur, n, src)
         v_halves, _ = _halves(cfg, v_cur, n, src)
@@ -243,8 +269,7 @@ def _ring_forward_impl(cfg: RingConfig, q, k, v, seed=0):
                     _needed(cfg, qc, kc, C, n), _do, lambda ops: ops,
                     states[qi])
         if step != n - 1:
-            k_cur = jax.lax.ppermute(k_cur, cfg.axis_name, perm)
-            v_cur = jax.lax.ppermute(v_cur, cfg.axis_name, perm)
+            k_cur, v_cur = k_nxt, v_nxt
 
     os, lses = [], []
     for m, l, acc in states:
@@ -281,12 +306,29 @@ def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do, dlse=None,
                    if dlse is not None else [(None, 0)] * len(q_halves))
 
     dq_halves = [jnp.zeros((B, Hq, C, Dp), jnp.float32) for _ in q_halves]
-    dk_t = jnp.zeros_like(kT, jnp.float32)
-    dv_t = jnp.zeros_like(vT, jnp.float32)
+    # Communication/compute overlap ("lag-one" accumulators): the traveling
+    # dk/dv accumulators run ONE HOP BEHIND their kv chunk. Each hop folds the
+    # PREVIOUS hop's local contribution (already computed) into the arriving
+    # accumulator and forwards it immediately — so the ppermute has no data
+    # dependence on this hop's kernels and rides the ICI concurrently with
+    # them. KV prefetch works the same way. After the loop, the final hop's
+    # contribution is folded locally and one last permute delivers each
+    # accumulator home (same n total hops and identical fold order as the
+    # serialized schedule, so numerics are unchanged).
+    acc_dk = jnp.zeros_like(kT, jnp.float32)
+    acc_dv = jnp.zeros_like(vT, jnp.float32)
 
     perm = [(i, (i + 1) % n) for i in range(n)]
     k_cur, v_cur = kT, vT
     for step in range(n):
+        if step > 0:
+            acc_dk = jax.lax.ppermute(acc_dk + pend_dk, cfg.axis_name, perm)
+            acc_dv = jax.lax.ppermute(acc_dv + pend_dv, cfg.axis_name, perm)
+        if step != n - 1:
+            k_nxt = jax.lax.ppermute(k_cur, cfg.axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, cfg.axis_name, perm)
+        pend_dk = jnp.zeros_like(kT, jnp.float32)
+        pend_dv = jnp.zeros_like(vT, jnp.float32)
         src = (idx - step) % n
         kv_halves, _ = _halves(cfg, k_cur, n, src)
         v_halves, _ = _halves(cfg, v_cur, n, src)
@@ -296,7 +338,7 @@ def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do, dlse=None,
 
                 def _do(ops, q_h=q_h, k_h=k_h, v_h=v_h, qc=qc, kc=kc,
                         qi=qi, kj=kj):
-                    dq_h, dk_t, dv_t = ops
+                    dq_h, pend_dk, pend_dv = ops
 
                     def _one(diag):
                         def inner(_):
@@ -315,20 +357,22 @@ def _ring_backward_impl(cfg: RingConfig, q, k, v, out, lse, do, dlse=None,
                     dq_h = dq_h + dq_c.astype(jnp.float32)
                     ksl = slice(kj * C, (kj + 1) * C) if cfg.zigzag else \
                         slice(None)
-                    dk_t = dk_t.at[:, :, ksl].add(dk_c.astype(jnp.float32))
-                    dv_t = dv_t.at[:, :, ksl].add(dv_c.astype(jnp.float32))
-                    return dq_h, dk_t, dv_t
+                    pend_dk = pend_dk.at[:, :, ksl].add(
+                        dk_c.astype(jnp.float32))
+                    pend_dv = pend_dv.at[:, :, ksl].add(
+                        dv_c.astype(jnp.float32))
+                    return dq_h, pend_dk, pend_dv
 
-                dq_halves[qi], dk_t, dv_t = jax.lax.cond(
+                dq_halves[qi], pend_dk, pend_dv = jax.lax.cond(
                     _needed(cfg, qc, kc, C, n), _do,
-                    lambda ops: ops, (dq_halves[qi], dk_t, dv_t))
+                    lambda ops: ops, (dq_halves[qi], pend_dk, pend_dv))
 
-        # Rotate the chunk AND its gradient accumulators together; after the
-        # final hop they are home, complete.
-        k_cur = jax.lax.ppermute(k_cur, cfg.axis_name, perm)
-        v_cur = jax.lax.ppermute(v_cur, cfg.axis_name, perm)
-        dk_t = jax.lax.ppermute(dk_t, cfg.axis_name, perm)
-        dv_t = jax.lax.ppermute(dv_t, cfg.axis_name, perm)
+        if step != n - 1:
+            k_cur, v_cur = k_nxt, v_nxt
+
+    # Fold the last hop's contribution and deliver each accumulator home.
+    dk_t = jax.lax.ppermute(acc_dk + pend_dk, cfg.axis_name, perm)
+    dv_t = jax.lax.ppermute(acc_dv + pend_dv, cfg.axis_name, perm)
 
     dq = (jnp.concatenate(dq_halves, axis=2) if len(dq_halves) > 1
           else dq_halves[0])
@@ -364,23 +408,27 @@ def _bwd_pair(cfg, scale, seed, S_tot, qT, k_c, v_c, doT, oT, lse, dlse,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring_attn(cfg: RingConfig, q, k, v):
-    out, lse = _ring_forward_impl(cfg, q, k, v)
+def _ring_attn(cfg: RingConfig, q, k, v, seed):
+    out, lse = _ring_forward_impl(cfg, q, k, v, seed=seed)
     return out, lse[:, :, :, 0]
 
 
-def _ring_attn_fwd(cfg, q, k, v):
-    out, lse = _ring_forward_impl(cfg, q, k, v)
-    return (out, lse[:, :, :, 0]), (q, k, v, out, lse)
+def _ring_attn_fwd(cfg, q, k, v, seed):
+    out, lse = _ring_forward_impl(cfg, q, k, v, seed=seed)
+    return (out, lse[:, :, :, 0]), (q, k, v, out, lse, seed)
 
 
 def _ring_attn_bwd(cfg, res, cot):
-    q, k, v, out, lse = res
+    import numpy as np
+
+    q, k, v, out, lse, seed = res
     do, dlse = cot
     # Guard non-finite rows (dead-row lse is -inf; cotangent must not leak).
     dlse4 = dlse[:, :, :, None]
     dlse4 = jnp.where(jnp.isfinite(lse) & jnp.isfinite(dlse4), dlse4, 0.0)
-    return _ring_backward_impl(cfg, q, k, v, out, lse, do, dlse=dlse4)
+    dq, dk, dv = _ring_backward_impl(cfg, q, k, v, out, lse, do, dlse=dlse4,
+                                     seed=seed)
+    return dq, dk, dv, np.zeros(seed.shape, dtype=jax.dtypes.float0)
 
 
 _ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
@@ -398,15 +446,23 @@ def ring_attention_local(
     dropout_p: float = 0.0,
     zigzag: bool = False,
     return_lse: bool = False,
+    dropout_seed=None,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Differentiable per-shard ring attention; run inside shard_map.
 
     With zigzag=True the local shard must already hold the zigzag chunk
-    pair layout (use `make_ring_attention`, which permutes globally)."""
+    pair layout (use `make_ring_attention`, which permutes globally).
+
+    `dropout_seed` may be a Python int or a traced int32 scalar (it must be
+    identical on every ring device — derive it OUTSIDE shard_map or from a
+    replicated key); with dropout_p > 0, exactly one of dropout_seed /
+    dropout_rng is required, like `flash_attn_func`."""
     cfg = RingConfig(axis_name=axis_name, causal=causal,
                      softmax_scale=softmax_scale, window=window,
                      dropout_p=dropout_p, zigzag=zigzag)
-    out, lse = _ring_attn(cfg, q, k, v)
+    seed = _resolve_seed(dropout_p, dropout_seed, dropout_rng)
+    out, lse = _ring_attn(cfg, q, k, v, seed)
     if return_lse:
         return out, lse
     return out
@@ -422,39 +478,49 @@ def make_ring_attention(
     dropout_p: float = 0.0,
     zigzag: Optional[bool] = None,
     return_lse: bool = False,
+    dropout_seed=None,
 ):
-    """Returns differentiable fn(q, k, v) over GLOBAL [B, S, H, D] arrays
-    sharded (data, seq, model, None). Causal rings default to the zigzag
-    layout (balanced work per device); the permutation is applied/undone
-    here on the global arrays, so callers see normal sequence order."""
+    """Returns differentiable fn(q, k, v, dropout_rng=None) over GLOBAL
+    [B, S, H, D] arrays sharded (data, seq, model, None). Causal rings
+    default to the zigzag layout (balanced work per device); the permutation
+    is applied/undone here on the global arrays, so callers see normal
+    sequence order.
+
+    Dropout follows `flash_attn_func`'s seed contract: with dropout_p > 0,
+    give `dropout_seed` here (int or int32 scalar) or pass a `jax.random`
+    key per call as `dropout_rng` (fold in step/layer for training loops).
+    The seed is derived once on the global side and broadcast to every ring
+    device, so the counter stream matches the single-chip kernel's."""
     n = int(mesh.shape[seq_axis])
     spec = P(AXIS_DATA, seq_axis, AXIS_MODEL, None)
     lse_spec = P(AXIS_DATA, AXIS_MODEL, seq_axis)
 
-    def fn(q, k, v):
+    def fn(q, k, v, dropout_rng=None):
         S = q.shape[1]
         # Zigzag needs two lane-aligned chunks per device; otherwise fall
         # back to the contiguous layout (still correct, less balanced).
         zz_ok = S % (2 * n) == 0 and (S // (2 * n)) % 128 == 0
         use_zigzag = (causal and n > 1 and zz_ok) if zigzag is None \
             else (zigzag and zz_ok)
+        seed = _resolve_seed(dropout_p, dropout_seed, dropout_rng)
 
-        def local_fn(q, k, v):
+        def local_fn(q, k, v, seed):
             return ring_attention_local(
                 q, k, v, axis_name=seq_axis, causal=causal,
                 softmax_scale=softmax_scale, window=window,
                 dropout_p=dropout_p, zigzag=use_zigzag, return_lse=True,
+                dropout_seed=seed,
             )
 
         sharded = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=(spec, spec, spec),
+            in_specs=(spec, spec, spec, P()),
             out_specs=(spec, lse_spec),
             check_vma=False,  # pallas_call outputs cannot carry vma annotations
         )
         if use_zigzag:
             q, k, v = (zigzag_permute(x, n, axis=1) for x in (q, k, v))
-        out, lse = sharded(q, k, v)
+        out, lse = sharded(q, k, v, seed)
         if use_zigzag:
             out = zigzag_unpermute(out, n, axis=1)
             lse = zigzag_unpermute(lse, n, axis=2)

@@ -62,11 +62,21 @@ class Engine:
         paged: bool = False,
         n_pages: Optional[int] = None,
         mesh: Optional[Mesh] = None,
+        prefill_chunk: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
         self.paged = paged
+        # Chunked prefill: prompts longer than `prefill_chunk` are admitted
+        # immediately but prefilled ONE bounded chunk per engine step,
+        # interleaved with decode — long prompts no longer stall active
+        # generations (see `models/llama.py:chunk_prefill_step`).
+        assert prefill_chunk is None or not paged, \
+            "chunked prefill is implemented for the contiguous cache"
+        assert prefill_chunk is None or prefill_chunk % 128 == 0
+        self.prefill_chunk = prefill_chunk
+        self._prefilling: Dict[int, int] = {}   # slot -> next prompt offset
         # ---- tensor parallelism over the `model` (head) axis -------------
         # BASELINE's scaling target (>= 80% tokens/s 1 -> 2 hosts) needs the
         # serving path itself sharded: every per-step device function runs
@@ -252,6 +262,60 @@ class Engine:
             self._prefill_cache[s_pad] = jax.jit(fn, donate_argnums=(3,))
         return self._prefill_cache[s_pad]
 
+    def _get_chunk_prefill(self):
+        """Jitted one-chunk prefill (fixed chunk width -> one compile)."""
+        if "chunk" not in self._prefill_cache:
+            from fa2_triton_tpu.models.llama import chunk_prefill_step
+
+            def _chunk(params, tokens, chunk_len, cache_len, caches, slot):
+                views = [cache_slice(c, slot) for c in caches]
+                logits, new_views = chunk_prefill_step(
+                    params, tokens, chunk_len, cache_len, self.cfg_local,
+                    views, self.kv_cfg_local, psum_axis=self._psum_axis,
+                )
+                new_caches = [cache_write_back(c, u, slot)
+                              for c, u in zip(caches, new_views)]
+                next_tok = jnp.argmax(logits[0]).astype(jnp.int32)
+                return next_tok, new_caches
+
+            fn = _chunk
+            if self.tp > 1:
+                cspec = jax.tree.map(
+                    lambda _: self._cache_spec_leaf, self.caches)
+                fn = jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(self._pspecs, P(), P(), P(), cspec, P()),
+                    out_specs=(P(), cspec), check_vma=False,
+                )
+            self._prefill_cache["chunk"] = jax.jit(fn, donate_argnums=(4,))
+        return self._prefill_cache["chunk"]
+
+    def _step_chunk_prefills(self):
+        """Advance every mid-prefill slot by ONE bounded chunk."""
+        C = self.prefill_chunk
+        for slot in list(self._prefilling):
+            req = self.slot_req[slot]
+            pos = self._prefilling[slot]
+            chunk = req.prompt[pos:pos + C]
+            tokens = np.zeros((1, C), np.int32)
+            tokens[0, :len(chunk)] = chunk
+            next_tok, self.caches = self._get_chunk_prefill()(
+                self.params, jnp.asarray(tokens),
+                jnp.asarray([len(chunk)], jnp.int32),
+                jnp.asarray([pos], jnp.int32), self.caches, slot,
+            )
+            pos += len(chunk)
+            self.stats.prefill_tokens += len(chunk)
+            if pos >= len(req.prompt):
+                # Final chunk: its last-token logits seed decoding.
+                del self._prefilling[slot]
+                self.lens_np[slot] = len(req.prompt)
+                self.last_tokens = self.last_tokens.at[slot].set(next_tok)
+                req.out_tokens.append(int(next_tok))
+                self._maybe_finish(slot)
+            else:
+                self._prefilling[slot] = pos
+
     # ---------------- scheduling ----------------------------------------
 
     def submit(self, prompt: List[int], max_new_tokens: int) -> Request:
@@ -265,6 +329,23 @@ class Engine:
             if occupant is not None or not self.queue:
                 continue
             req = self.queue.pop(0)
+            if (self.prefill_chunk is not None
+                    and len(req.prompt) > self.prefill_chunk):
+                # Long prompt: claim the slot now, prefill chunk-by-chunk
+                # across subsequent steps (decode keeps running meanwhile).
+                assert len(req.prompt) <= self._max_seq_padded
+                self.slot_req[slot] = req
+                self._prefilling[slot] = 0
+                # The batched decode runs over ALL slots every step and
+                # writes each slot's new-token KV at its lens — a mid-prefill
+                # slot must park its write on the sacrificial tail row (real
+                # decodes never write there: requests finish when
+                # lens + 1 >= max_seq_padded, and any final chunk covering
+                # the tail row rewrites it before this slot re-enters
+                # decode). Parking at 0 would corrupt the freshly prefilled
+                # row 0 on every interleaved decode step.
+                self.lens_np[slot] = self._max_seq_padded - 1
+                continue
             s_pad = max(64, next_power_of_2(len(req.prompt)))
             assert s_pad <= self._max_seq_padded
             tokens = np.zeros((1, s_pad), np.int32)
@@ -319,12 +400,16 @@ class Engine:
         self.queue.insert(0, req)
 
     def step(self):
-        """One engine iteration: admit waiting requests, then decode all
-        active slots by one token."""
+        """One engine iteration: admit waiting requests, advance mid-prefill
+        slots by one bounded chunk, then decode all active slots by one
+        token."""
         self._admit()
-        active = [s for s, r in enumerate(self.slot_req) if r is not None]
+        if self._prefilling:
+            self._step_chunk_prefills()
+        active = [s for s, r in enumerate(self.slot_req)
+                  if r is not None and s not in self._prefilling]
         if not active:
-            return False
+            return bool(self._prefilling)
         if self.paged:
             for s in list(active):
                 if self.slot_req[s] is None:  # preempted earlier this step
@@ -386,6 +471,81 @@ class Engine:
                 break
         self.stats.wall_s = time.perf_counter() - t0
         return self.stats
+
+
+class DataParallelEngine:
+    """Serving across the mesh's `data` axis: one independent TP `Engine`
+    per data slice (its own slot pool, KV caches, and jitted step over its
+    `model`-axis submesh) fed from a SHARED request queue by free capacity.
+
+    This is the measurable shape of BASELINE's ">= 80% tokens/s scaling
+    1 -> 2 hosts": replicas share no device state, so aggregate decode
+    throughput scales with the data-axis size; on real multi-host meshes
+    each host drives its own slice (`parallel/mesh.py:make_multihost_mesh`
+    puts `data` across hosts/DCN and `model` within a host's ICI). Token
+    parity vs a single engine is pinned by `tests/test_serving_tp.py`.
+    """
+
+    def __init__(self, params, cfg: LlamaConfig, mesh: Mesh,
+                 n_slots: int = 8, max_seq: int = 2048, **engine_kw):
+        from fa2_triton_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL
+
+        d = int(mesh.shape.get(AXIS_DATA, 1))
+        m = int(mesh.shape.get(AXIS_MODEL, 1))
+        extra = 1
+        for name, size in mesh.shape.items():
+            if name not in (AXIS_DATA, AXIS_MODEL):
+                extra *= size
+        assert extra == 1, "serving mesh must only have data/model axes"
+        devs = mesh.devices.reshape(d, m)
+        self.engines = []
+        for i in range(d):
+            sub = Mesh(devs[i], (AXIS_MODEL,)) if m > 1 else None
+            self.engines.append(Engine(
+                params, cfg, n_slots=n_slots, max_seq=max_seq, mesh=sub,
+                **engine_kw))
+        self.queue: List[Request] = []
+        self._rid = 0
+
+    def submit(self, prompt: List[int], max_new_tokens: int) -> Request:
+        req = Request(rid=self._rid, prompt=list(prompt),
+                      max_new_tokens=max_new_tokens)
+        self._rid += 1
+        self.queue.append(req)
+        return req
+
+    def _dispatch(self):
+        """Feed the shared queue to the replica with the most free capacity."""
+        while self.queue:
+            free = [
+                (sum(r is None for r in e.slot_req) - len(e.queue), i)
+                for i, e in enumerate(self.engines)
+            ]
+            best_free, best = max(free)
+            if best_free <= 0:
+                return
+            self.engines[best].queue.append(self.queue.pop(0))
+
+    def step(self) -> bool:
+        self._dispatch()
+        progressed = [e.step() for e in self.engines]
+        return any(progressed)
+
+    def run(self, requests: List[Request] | None = None) -> EngineStats:
+        if requests:
+            self.queue.extend(requests)
+        t0 = time.perf_counter()
+        while (self.queue
+               or any(e.queue or any(r is not None for r in e.slot_req)
+                      for e in self.engines)):
+            if not self.step() and not self.queue:
+                break
+        agg = EngineStats(wall_s=time.perf_counter() - t0)
+        for e in self.engines:
+            agg.prefill_tokens += e.stats.prefill_tokens
+            agg.decode_tokens += e.stats.decode_tokens
+            agg.decode_steps = max(agg.decode_steps, e.stats.decode_steps)
+        return agg
 
 
 # -------- slot slicing helpers (single-slot cache views) -----------------

@@ -161,3 +161,39 @@ def test_tuning_tables_sane():
                     assert Sp % bq == 0 and Skp % bkv == 0 and bkv % sub == 0
                     # dk/dv f32 scratch stays within the VMEM budget.
                     assert 2 * bkv * D * 4 <= 8 * 1024 * 1024
+
+
+def test_autotune_table_roundtrip(tmp_path, monkeypatch):
+    """bench.py --tune persists per-chip winners; the dispatcher reads them
+    back before the baked-in v5e prior (VERDICT r2 item: portable tuning)."""
+    from fa2_triton_tpu.ops import autotune
+    from fa2_triton_tpu.ops.tuning import choose_block_sizes, choose_fused_bwd
+
+    monkeypatch.setenv("FA2_TUNING_DIR", str(tmp_path))
+    monkeypatch.delenv("FA2_DISABLE_TUNING_TABLE", raising=False)
+    autotune._load_table.cache_clear()
+    chip = autotune.detect_chip()
+
+    # No table -> baked-in prior.
+    base = choose_block_sizes(4096, 4096, 128, causal=False)
+    path = autotune.record("fwd", False, 128, 4096, (256, 2048, 1), chip=chip)
+    assert path.exists()
+    assert autotune.lookup("fwd", False, 128, 4096, chip=chip) == (256, 2048, 1)
+    bs = choose_block_sizes(4096, 4096, 128, causal=False)
+    assert (bs.block_q, bs.block_kv, bs.unroll_kv) == (256, 2048, 1)
+    assert bs.block_q != base.block_q or bs.block_kv != base.block_kv
+
+    # Seqlen bucketing: 4097 falls in the 8192 bucket, not 4096's.
+    assert autotune.lookup("fwd", False, 128, 4097, chip=chip) is None
+
+    # fused_bwd override honored only when divisibility holds.
+    autotune.record("fused_bwd", False, 128, 4096, (512, 2048, 512, 2),
+                    chip=chip)
+    assert choose_fused_bwd(4096, 4096, 128, False) == (512, 2048, 512, 2)
+    assert choose_fused_bwd(4096, 1280, 128, False) != (512, 2048, 512, 2)
+
+    # Kill switch for sweeps.
+    monkeypatch.setenv("FA2_DISABLE_TUNING_TABLE", "1")
+    assert autotune.lookup("fwd", False, 128, 4096, chip=chip) is None
+    monkeypatch.delenv("FA2_DISABLE_TUNING_TABLE")
+    autotune._load_table.cache_clear()

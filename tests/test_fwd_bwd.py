@@ -7,6 +7,7 @@ interpret mode, intended for TPU runs).
 """
 import os
 
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -37,6 +38,32 @@ def test_fp16(causal):
 def test_fp16_mask_gqa():
     run_attention_case(2, 8, 2, 128, 128, 128, causal=True,
                        use_attention_mask=True, dtype=jnp.float16)
+
+
+def test_fp16_bf16_compute_opt_in():
+    """fp16 I/O with fp16_compute_dtype=bfloat16 (the full-MXU-rate option,
+    VERDICT r2): output stays within the FA relative-tolerance contract of
+    a low-precision oracle — bf16's mantissa error profile matches fp16's."""
+    from fa2_triton_tpu import flash_attn_func, flash_attn_reference
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = (jax.random.normal(ks[0], (2, 255, 4, 64)) * 0.5).astype(jnp.float16)
+    k = (jax.random.normal(ks[1], (2, 255, 2, 64)) * 0.5).astype(jnp.float16)
+    v = (jax.random.normal(ks[2], (2, 255, 2, 64)) * 0.5).astype(jnp.float16)
+    out = flash_attn_func(q, k, v, causal=True,
+                          fp16_compute_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.float16
+    ref = flash_attn_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True)
+    # The right error yardstick is a bf16 low-precision oracle (that IS the
+    # compute dtype the user opted into).
+    refb = flash_attn_reference(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), causal=True, upcast=False, reorder_ops=True)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    err_pt = jnp.max(jnp.abs(refb.astype(jnp.float32) - ref))
+    assert float(err) <= 2 * float(err_pt) + 1e-4, (float(err), float(err_pt))
 
 
 @pytest.mark.parametrize("seqlen_q,seqlen_k", SEQLEN_PAIRS)

@@ -170,3 +170,42 @@ def test_engine_sliding_window_matches_full_forward():
         req = eng.submit(prompt, max_new_tokens=8)
         eng.run()
         assert req.out_tokens == ref, (paged, req.out_tokens, ref)
+
+
+def test_engine_chunked_prefill_matches_unchunked(params):
+    """prefill_chunk: long prompts prefilled in bounded chunks across steps
+    produce EXACTLY the unchunked engine's greedy tokens."""
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(0, CFG.vocab_size, size=n).tolist()
+               for n in (200, 5, 150)]
+
+    def run(**kw):
+        eng = Engine(params, CFG, n_slots=2, max_seq=256, **kw)
+        reqs = [eng.submit(p, 6) for p in prompts]
+        eng.run()
+        assert all(r.done for r in reqs)
+        return [r.out_tokens for r in reqs]
+
+    assert run() == run(prefill_chunk=128)
+
+
+def test_engine_chunked_prefill_interleaves_decode(params):
+    """While a long prompt prefills chunk-by-chunk, other slots keep
+    decoding (the long prompt no longer stalls active generations)."""
+    rng = np.random.RandomState(4)
+    eng = Engine(params, CFG, n_slots=2, max_seq=256, prefill_chunk=128)
+    short = eng.submit(rng.randint(0, CFG.vocab_size, size=5).tolist(), 20)
+    eng.step()
+    assert len(short.out_tokens) >= 1
+    n_before = len(short.out_tokens)
+    long_req = eng.submit(rng.randint(0, CFG.vocab_size, size=250).tolist(), 4)
+    eng.step()   # long: chunk 1 of 2; short: one decode step
+    assert eng._prefilling and not long_req.out_tokens
+    assert len(short.out_tokens) == n_before + 1
+    eng.step()   # long: final chunk -> first token, then it joins the
+    # same step's decode for its second (exactly like the unchunked path,
+    # where admit-prefill and the same step's decode both emit).
+    assert not eng._prefilling and len(long_req.out_tokens) == 2
+    assert len(short.out_tokens) == n_before + 2
+    eng.run()
+    assert long_req.done and short.done

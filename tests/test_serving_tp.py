@@ -58,3 +58,20 @@ def test_tp_engine_int8_kv_cache(params, mesh):
 def test_tp_engine_int8_weights(params, mesh):
     qp = quantize_model_params(params)
     assert _generate(qp, None) == _generate(qp, mesh)
+
+
+def test_dp_tp_engine_matches_single_device(params):
+    """(data=2, model=2) DataParallelEngine: two TP replicas fed from a
+    shared queue produce the single-device engine's greedy tokens
+    (VERDICT r2: serve across the data axis)."""
+    from fa2_triton_tpu.runtime.serving import DataParallelEngine
+
+    mesh4 = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    dp = DataParallelEngine(params, CFG, mesh4, n_slots=2, max_seq=256)
+    reqs = [dp.submit(p, 10) for p in PROMPTS]
+    stats = dp.run()
+    assert stats.decode_tokens > 0
+    assert all(r.done for r in reqs)
+    assert [r.out_tokens for r in reqs] == _generate(params, None)
+    # Work actually spread over both replicas.
+    assert all(e.stats.decode_tokens > 0 for e in dp.engines)

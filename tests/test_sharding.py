@@ -101,22 +101,36 @@ def test_ring_zigzag_causal_fwd_bwd():
 
 def test_ring_dropout_matches_single_device():
     """The ring's dropout counter stream is global-position based, so it is
-    bitwise the single-chip kernel's stream. S=2048 over 4 devices gives
-    256-row zigzag chunks, which routes diagonal pairs through the
-    static-triangular kernels — pinning that THEY use global offsets in the
-    dropout counter too (regression: they once used local positions)."""
+    bitwise the single-chip kernel's stream — with the SAME (nonzero) seed
+    plumbed through `make_ring_attention(dropout_seed=...)`. S=2048 over 4
+    devices gives 256-row zigzag chunks, which routes diagonal pairs through
+    the static-triangular kernels — pinning that THEY use global offsets in
+    the dropout counter too (regression: they once used local positions)."""
     mesh = make_mesh(data=1, model=1, seq=4)
     q, k, v, do = generate_test_data(1, 4, 2, 2048, 2048, 64, jnp.float32)
-    fn = make_ring_attention(mesh, causal=True, dropout_p=0.2)
-    # dropout seed is baked as 0 inside ring scalars; compare vs kernel with
-    # seed 0.
+    fn = make_ring_attention(mesh, causal=True, dropout_p=0.2,
+                             dropout_seed=1234)
     out, vjp = jax.vjp(fn, q, k, v)
     ref, vjp_ref = jax.vjp(
         lambda q, k, v: flash_attn_func(q, k, v, causal=True, dropout_p=0.2,
-                                        dropout_seed=0), q, k, v)
+                                        dropout_seed=1234), q, k, v)
     assert _err(out, ref) < 2e-5
     for g, g_ref, name in zip(vjp(do), vjp_ref(do), ("dq", "dk", "dv")):
         assert _err(g, g_ref) < 5e-5, (name, _err(g, g_ref))
+
+
+def test_ring_dropout_rng_key_and_seed_required():
+    """Ring dropout shares flash_attn_func's seed contract: dropout_p > 0
+    with neither dropout_seed nor dropout_rng raises; a per-call rng key is
+    accepted and changes the mask vs a different key."""
+    mesh = make_mesh(data=1, model=1, seq=4)
+    q, k, v, _ = generate_test_data(1, 4, 2, 1024, 1024, 64, jnp.float32)
+    fn = make_ring_attention(mesh, causal=True, dropout_p=0.2)
+    with pytest.raises(ValueError, match="dropout_seed or dropout_rng"):
+        fn(q, k, v)
+    out_a = fn(q, k, v, dropout_rng=jax.random.key(0))
+    out_b = fn(q, k, v, dropout_rng=jax.random.key(1))
+    assert _err(out_a, out_b) > 1e-3  # different keys -> different masks
 
 
 def test_ring_window_matches_single_device():
