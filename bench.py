@@ -132,8 +132,25 @@ def bench_varlen(B=4, S=4096, Hq=32, Hkv=32, D=128):
     t_full = device_time(
         lambda q, k, v: flash_attn_func(q, k, v, attention_mask=full),
         q, k, v, iters=10)
+
+    # Packed zero-waste mode (ops/varlen.py): the same 50%-real-token batch
+    # packed back-to-back — the work list contains only live blocks, so the
+    # ideal speedup (~2x) is reachable, unlike the fixed per-grid-step cost
+    # the lens-clamp path pays on skipped blocks.
+    from fa2_triton_tpu import flash_attn_varlen_func, pack_padded_batch
+
+    lens = [S // 2] * B
+    (qp, kp, vp), starts, T = pack_padded_batch(
+        [q, k, v], lens, align=2048)
+    cu = list(starts) + [T]
+    t_packed = device_time(
+        lambda qp, kp, vp: flash_attn_varlen_func(
+            qp, kp, vp, cu, seqlens=lens, block_q=512, block_kv=512),
+        qp, kp, vp, iters=10)
     return {"half_ms": t_half * 1e3, "full_ms": t_full * 1e3,
-            "skip_speedup": t_full / t_half}
+            "skip_speedup": t_full / t_half,
+            "packed_ms": t_packed * 1e3,
+            "packed_speedup": t_full / t_packed}
 
 
 def run_tune(B=4, H=32, D=128):
@@ -315,13 +332,16 @@ def main():
 
     if args.mode == "varlen":
         r = bench_varlen()
-        print(f"varlen 50% padding: {r['half_ms']:.3f} ms vs dense "
-              f"{r['full_ms']:.3f} ms", file=sys.stderr)
+        print(f"varlen 50% padding: lens-clamp {r['half_ms']:.3f} ms / "
+              f"packed {r['packed_ms']:.3f} ms vs dense "
+              f"{r['full_ms']:.3f} ms "
+              f"(skip {r['skip_speedup']:.2f}x, packed "
+              f"{r['packed_speedup']:.2f}x)", file=sys.stderr)
         print(json.dumps({
-            "metric": "varlen_half_padding_speedup",
-            "value": round(r["skip_speedup"], 3),
+            "metric": "varlen_half_padding_packed_speedup",
+            "value": round(r["packed_speedup"], 3),
             "unit": "x",
-            "vs_baseline": round(r["skip_speedup"], 3),
+            "vs_baseline": round(r["packed_speedup"], 3),
         }))
         return
 
