@@ -48,6 +48,7 @@ from fa2_triton_tpu.utils import (
     interpret_mode,
     round_up_to_multiple,
 )
+from fa2_triton_tpu.utils.rng import counter_hash_uint32, dropout_threshold
 
 MASK_LOG2 = -1e30
 LANES = 128
@@ -188,15 +189,34 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
 
 # ------------------------------ forward -----------------------------------
 
+def _packed_dropout_bits(work_ref, seed_ref, i, h_q, block_q, block_kv, T):
+    """Keep-bits for one tile of the packed dropout stream.
+
+    The stream counter is the GLOBAL PACKED coordinate
+    `(h * T + row_packed) * T + col_packed` (uint32, wrapping) — segments
+    occupy disjoint packed positions, so uniqueness per (head, q, kv) pair
+    holds with no per-segment strides; the oracle regenerates the identical
+    mask from the same formula (tests/test_varlen_packed.py)."""
+    row_gp = (work_ref[i, 0] * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 0)).astype(jnp.uint32)
+    col_gp = (work_ref[i, 1] * block_kv + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_kv), 1)).astype(jnp.uint32)
+    flat = (h_q.astype(jnp.uint32) * jnp.uint32(T) + row_gp) \
+        * jnp.uint32(T) + col_gp
+    return counter_hash_uint32(seed_ref[0].astype(jnp.uint32), flat)
+
+
 def _varlen_fwd_kernel(
     work_ref,                 # [n_steps, 8] SMEM (prefetched)
+    seed_ref,                 # [1] SMEM (prefetched) dropout seed
     q_ref, k_ref, v_ref,      # (1, 1, bq, D) / (1, 1, bkv, D)
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *,
     causal: bool, block_q: int, block_kv: int,
+    dropout_p: float = 0.0, T: int = 0,
 ):
-    _, i = pl.program_id(0), pl.program_id(1)
+    h, i = pl.program_id(0), pl.program_id(1)
     flags = work_ref[i, 6]
     q_lo = work_ref[i, 2]
     kv_lo = work_ref[i, 3]
@@ -234,6 +254,14 @@ def _varlen_fwd_kernel(
         m_scr[...] = m_new
         p = jnp.exp2(s2 - m_new[:, :1])
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_p > 0.0:
+            # Same convention as the dense kernels: l counts the full p
+            # (true softmax normalizer / LSE), dropped entries only leave
+            # the accumulator; the finalizer compensates by 1/(1-p).
+            bits = _packed_dropout_bits(
+                work_ref, seed_ref, i, h, block_q, block_kv, T)
+            p = jnp.where(
+                bits >= jnp.uint32(dropout_threshold(dropout_p)), p, 0.0)
         v = v_ref[0, 0]
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -249,6 +277,8 @@ def _varlen_fwd_kernel(
         m = m_scr[:, :1]
         l = l_scr[:, :1]
         l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        if dropout_p > 0.0:
+            l_inv = l_inv / (1.0 - dropout_p)
         o = acc_scr[...] * l_inv
         row_g = q_lo + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         valid = row_g < qlen
@@ -266,6 +296,7 @@ def flash_attn_varlen_forward(
     *,
     causal: bool, softmax_scale: float,
     block_q: int = 512, block_kv: int = 512,
+    dropout_p: float = 0.0, seed=0,
     q_prescaled: bool = False, debug_interpret: Optional[bool] = None,
 ):
     _, Hq, T, D = q.shape
@@ -279,20 +310,22 @@ def flash_attn_varlen_forward(
     work = _build_schedule(seg_starts, exts, seg_qlens, seg_kvlens,
                            block_q, block_kv, causal)
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
-    def q_index(h, i, work_ref):
+    def q_index(h, i, work_ref, seed_ref):
         return (0, h, work_ref[i, 0], 0)
 
-    def kv_index(h, i, work_ref):
+    def kv_index(h, i, work_ref, seed_ref):
         return (0, h // group, work_ref[i, 1], 0)
 
     o, lse = pl.pallas_call(
         functools.partial(
             _varlen_fwd_kernel, causal=causal,
             block_q=block_q, block_kv=block_kv,
+            dropout_p=dropout_p, T=T,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(Hq, work.shape[0]),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), q_index),
@@ -317,7 +350,7 @@ def flash_attn_varlen_forward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(work), q, k, v)
+    )(jnp.asarray(work), seed_arr, q, k, v)
     return o, lse
 
 
@@ -325,13 +358,15 @@ def flash_attn_varlen_forward(
 
 def _varlen_dq_kernel(
     work_ref,
+    seed_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     acc_scr,
     *,
     causal: bool, block_q: int, block_kv: int,
+    dropout_p: float = 0.0, T: int = 0,
 ):
-    _, i = pl.program_id(0), pl.program_id(1)
+    h, i = pl.program_id(0), pl.program_id(1)
     flags = work_ref[i, 6]
     q_lo, kv_lo = work_ref[i, 2], work_ref[i, 3]
     qlen, kvlen = work_ref[i, 4], work_ref[i, 5]
@@ -367,6 +402,13 @@ def _varlen_dq_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(do),
         )
+        if dropout_p > 0.0:
+            # Dense-kernel convention: dp is masked and 1/(1-p)-compensated
+            # where kept (the dropped-probability paths see it).
+            bits = _packed_dropout_bits(
+                work_ref, seed_ref, i, h, block_q, block_kv, T)
+            keep_d = bits >= jnp.uint32(dropout_threshold(dropout_p))
+            dp = jnp.where(keep_d, dp * (1.0 / (1.0 - dropout_p)), 0.0)
         ds = p * (dp - delta_ref[0, 0])
         acc_scr[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -385,13 +427,15 @@ def _varlen_dq_kernel(
 
 def _varlen_dkdv_kernel(
     work_ref,
+    seed_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *,
     causal: bool, scale: float, block_q: int, block_kv: int,
+    group: int = 1, dropout_p: float = 0.0, T: int = 0,
 ):
-    _, i = pl.program_id(0), pl.program_id(1)
+    hkv, i = pl.program_id(0), pl.program_id(1)
     flags = work_ref[i, 6]
     q_lo, kv_lo = work_ref[i, 2], work_ref[i, 3]
     qlen, kvlen = work_ref[i, 4], work_ref[i, 5]
@@ -430,9 +474,18 @@ def _varlen_dkdv_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision(do),
         )
+        p_dv = p
+        if dropout_p > 0.0:
+            h_q = hkv * group + work_ref[i, 7]
+            bits = _packed_dropout_bits(
+                work_ref, seed_ref, i, h_q, block_q, block_kv, T)
+            keep_d = bits >= jnp.uint32(dropout_threshold(dropout_p))
+            inv = 1.0 / (1.0 - dropout_p)
+            p_dv = jnp.where(keep_d, p * inv, 0.0)
+            dp = jnp.where(keep_d, dp * inv, 0.0)
         ds = p * (dp - delta_ref[0, 0])
         dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_dv.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=dot_precision(do),
         )
@@ -457,6 +510,7 @@ def flash_attn_varlen_backward(
     *,
     causal: bool, softmax_scale: float,
     block_q: int = 512, block_kv: int = 512,
+    dropout_p: float = 0.0, seed=0,
     dlse: Optional[jax.Array] = None,
     debug_interpret: Optional[bool] = None,
 ):
@@ -478,18 +532,20 @@ def flash_attn_varlen_backward(
     exts = _seg_extents(seg_starts, T)
     work_q = _build_schedule(seg_starts, exts, seg_qlens, seg_kvlens,
                              block_q, block_kv, causal)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
-    def q_index(h, i, w):
+    def q_index(h, i, w, s):
         return (0, h, w[i, 0], 0)
 
-    def kv_index(h, i, w):
+    def kv_index(h, i, w, s):
         return (0, h // group, w[i, 1], 0)
 
     dq = pl.pallas_call(
         functools.partial(_varlen_dq_kernel, causal=causal,
-                          block_q=block_q, block_kv=block_kv),
+                          block_q=block_q, block_kv=block_kv,
+                          dropout_p=dropout_p, T=T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(Hq, work_q.shape[0]),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), q_index),
@@ -507,24 +563,25 @@ def flash_attn_varlen_backward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(work_q), q, k_p, v, do, lse, delta)
+    )(jnp.asarray(work_q), seed_arr, q, k_p, v, do, lse, delta)
 
     work_kv = _build_schedule(seg_starts, exts, seg_qlens, seg_kvlens,
                               block_q, block_kv, causal,
                               kv_major=True, group=group)
 
-    def q_index2(hkv, i, w):
+    def q_index2(hkv, i, w, s):
         return (0, hkv * group + w[i, 7], w[i, 0], 0)
 
-    def kv_index2(hkv, i, w):
+    def kv_index2(hkv, i, w, s):
         return (0, hkv, w[i, 1], 0)
 
     dk, dv = pl.pallas_call(
         functools.partial(_varlen_dkdv_kernel, causal=causal,
                           scale=softmax_scale,
-                          block_q=block_q, block_kv=block_kv),
+                          block_q=block_q, block_kv=block_kv,
+                          group=group, dropout_p=dropout_p, T=T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(Hkv, work_kv.shape[0]),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D), q_index2),
@@ -551,37 +608,39 @@ def flash_attn_varlen_backward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(work_kv), q, k_p, v, do, lse, delta)
+    )(jnp.asarray(work_kv), seed_arr, q, k_p, v, do, lse, delta)
     return dq, dk, dv
 
 
 # ---------------------------- public wrapper ------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _varlen_core(meta, q, k, v):
-    (o, lse), _ = _varlen_core_fwd(meta, q, k, v)
+def _varlen_core(meta, q, k, v, seed):
+    (o, lse), _ = _varlen_core_fwd(meta, q, k, v, seed)
     return o, lse
 
 
-def _varlen_core_fwd(meta, q, k, v):
-    starts, qlens, kvlens, causal, scale, bq, bkv = meta
+def _varlen_core_fwd(meta, q, k, v, seed):
+    starts, qlens, kvlens, causal, scale, bq, bkv, dropout_p = meta
     o, lse = flash_attn_varlen_forward(
         q, k, v, np.asarray(starts), qlens, kvlens,
-        causal=causal, softmax_scale=scale, block_q=bq, block_kv=bkv)
-    return (o, lse), (q, k, v, o, lse)
+        causal=causal, softmax_scale=scale, block_q=bq, block_kv=bkv,
+        dropout_p=dropout_p, seed=seed)
+    return (o, lse), (q, k, v, o, lse, seed)
 
 
 def _varlen_core_bwd(meta, res, cot):
-    starts, qlens, kvlens, causal, scale, bq, bkv = meta
-    q, k, v, o, lse = res
+    starts, qlens, kvlens, causal, scale, bq, bkv, dropout_p = meta
+    q, k, v, o, lse, seed = res
     do, dlse = cot
     # dlse is the cotangent of the [1, H, T, 1] lse output — already shaped
     # like lse itself.
     dlse4 = jnp.where(jnp.isfinite(lse) & jnp.isfinite(dlse), dlse, 0.0)
-    return flash_attn_varlen_backward(
+    grads = flash_attn_varlen_backward(
         q, k, v, do, o, lse, np.asarray(starts), qlens, kvlens,
         causal=causal, softmax_scale=scale, block_q=bq, block_kv=bkv,
-        dlse=dlse4)
+        dropout_p=dropout_p, seed=seed, dlse=dlse4)
+    return grads + (np.zeros(seed.shape, dtype=jax.dtypes.float0),)
 
 
 _varlen_core.defvjp(_varlen_core_fwd, _varlen_core_bwd)
@@ -598,6 +657,9 @@ def flash_attn_varlen_func(
     block_q: int = 512,
     block_kv: int = 512,
     return_lse: bool = False,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[int] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ):
     """Zero-waste varlen attention over a PACKED token stream — the
     reference's varlen mode (`src/forward/caller.py:44-63`) with the packing
@@ -642,8 +704,24 @@ def flash_attn_varlen_func(
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
         return x
 
-    meta = (starts, seqlens, seqlens, causal, scale, block_q, block_kv)
-    o, lse = _varlen_core(meta, to_bhsd(q), to_bhsd(k), to_bhsd(v))
+    if dropout_p > 0.0:
+        if dropout_seed is not None:
+            seed = jnp.asarray(dropout_seed, jnp.int32)
+        elif dropout_rng is not None:
+            seed = jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        else:
+            raise ValueError(
+                "dropout_p > 0 requires dropout_seed or dropout_rng "
+                "(flash_attn_func's seed contract)."
+            )
+    else:
+        seed = jnp.asarray(
+            dropout_seed if dropout_seed is not None else 0, jnp.int32)
+
+    meta = (starts, seqlens, seqlens, causal, scale, block_q, block_kv,
+            float(dropout_p))
+    o, lse = _varlen_core(meta, to_bhsd(q), to_bhsd(k), to_bhsd(v), seed)
     out = jnp.transpose(o[:, :, :, :D], (0, 2, 1, 3)).astype(out_dtype)
     if squeeze:
         out = out[0]

@@ -94,6 +94,69 @@ def test_packed_varlen_fwd_zero_fill_and_lse():
                 jnp.max(jnp.abs(out_p[0, int(s0) + l:int(s0) + S]))) == 0.0
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_varlen_dropout_matches_oracle(causal):
+    """Packed dropout stream (global packed coordinates — see
+    `ops/varlen._packed_dropout_bits`): fwd+bwd match the oracle fed the
+    bit-identical keep-mask, rebuilt per segment in pure jnp."""
+    from fa2_triton_tpu.utils.rng import (
+        counter_hash_uint32, dropout_threshold,
+    )
+
+    lens = (300, 512)
+    B, S, Hq, Hkv, D = 2, 512, 2, 2, 64
+    p_drop, seed = 0.2, 1234
+    q, k, v, do = _make(B, S, Hq, Hkv, D, lens)
+    (qp, kp, vp, dop), starts, T = pack_padded_batch(
+        [q, k, v, do], lens, align=512)
+    cu = list(starts) + [T]
+
+    out_p, vjp = jax.vjp(
+        lambda qp, kp, vp: flash_attn_varlen_func(
+            qp, kp, vp, cu, seqlens=lens, causal=causal,
+            dropout_p=p_drop, dropout_seed=seed), qp, kp, vp)
+    grads_p = vjp(dop)
+    out = unpack_padded_batch(out_p, starts, lens, S)
+
+    # Oracle keep-mask from the packed stream's counter formula.
+    h = jnp.arange(Hq, dtype=jnp.uint32).reshape(-1, 1, 1)
+    masks = []
+    for s0 in starts:
+        r = jnp.uint32(int(s0)) + jnp.arange(S, dtype=jnp.uint32).reshape(1, -1, 1)
+        c = jnp.uint32(int(s0)) + jnp.arange(S, dtype=jnp.uint32).reshape(1, 1, -1)
+        flat = (h * jnp.uint32(T) + r) * jnp.uint32(T) + c
+        bits = counter_hash_uint32(jnp.uint32(seed), flat)
+        masks.append(bits >= jnp.uint32(dropout_threshold(p_drop)))
+    keep_mask = jnp.stack(masks)  # [B, H, S, S]
+
+    mask = jnp.arange(S)[None, :] < jnp.asarray(lens)[:, None]
+    ref, vjp_ref = jax.vjp(
+        lambda q, k, v: flash_attn_reference(
+            q, k, v, query_padding_mask=mask, key_padding_mask=mask,
+            causal=causal, dropout_p=p_drop, dropout_mask=keep_mask),
+        q, k, v)
+    grads_ref = vjp_ref(do)
+
+    keep = mask[:, :, None, None]
+    assert _err(out, ref * keep) < 5e-5
+    for gp, gr, name in zip(grads_p, grads_ref, ("dq", "dk", "dv")):
+        g = unpack_padded_batch(gp, starts, lens, S)
+        assert _err(g, gr * keep) < 2e-4, (name, _err(g, gr * keep))
+
+    # Determinism + seed sensitivity.
+    out_p2 = flash_attn_varlen_func(
+        qp, kp, vp, cu, seqlens=lens, causal=causal,
+        dropout_p=p_drop, dropout_seed=seed)
+    assert _err(out_p, out_p2) == 0.0
+    out_p3 = flash_attn_varlen_func(
+        qp, kp, vp, cu, seqlens=lens, causal=causal,
+        dropout_p=p_drop, dropout_seed=seed + 1)
+    assert _err(out_p, out_p3) > 1e-3
+    with pytest.raises(ValueError, match="dropout_seed or dropout_rng"):
+        flash_attn_varlen_func(qp, kp, vp, cu, seqlens=lens,
+                               dropout_p=p_drop)
+
+
 def test_schedule_block_accounting():
     """The work list contains exactly the needed blocks: at 50% real tokens
     the non-causal schedule has half the dense step count, and causal
