@@ -48,6 +48,26 @@ def test_public_api_engages_strip_path():
         assert _err(g, g_ref) < 5e-5, (name, _err(g, g_ref))
 
 
+@pytest.mark.parametrize("sub,wide", [(512, 2), (256, 8)])
+def test_strip_sub_wide_variants(sub, wide):
+    """Non-default (sub, wide) geometries — what `bench.py --tune` sweeps
+    and the autotune table can select — match the default config exactly."""
+    from fa2_triton_tpu.ops.flash_fwd import flash_attn_forward_causal_strip
+
+    B, H, S, D = 1, 2, 2048, 128
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32) * 0.5
+    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32) * 0.5
+    lens = jnp.broadcast_to(jnp.array([[S, S]], jnp.int32), (B, 2))
+    scal = jnp.array([[0, 0, 7, 0]], jnp.int32)
+    kw = dict(softmax_scale=D ** -0.5, seqlen_q_real=S, seqlen_k_real=S)
+    o1, l1 = flash_attn_forward_causal_strip(
+        q, k, v, lens, scal, sub=sub, wide=wide, **kw)
+    o2, l2 = flash_attn_forward_causal_strip(q, k, v, lens, scal, **kw)
+    assert _err(o1, o2) < 1e-6 and _err(l1, l2) < 1e-5
+
+
 @pytest.mark.parametrize("dropout_p", [0.0, 0.2])
 @pytest.mark.parametrize("shift_blocks", [0, 2])
 def test_strip_matches_generic_kernels(dropout_p, shift_blocks):

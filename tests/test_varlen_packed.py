@@ -32,10 +32,14 @@ def _make(B, S, Hq, Hkv, D, lens, seed=0):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("lens", [(300, 512, 129), (512, 1, 200)])
-def test_packed_varlen_fwd_bwd_matches_oracle(causal, lens):
+@pytest.mark.parametrize("lens,blocks", [
+    ((300, 512, 129), (256, 256)),
+    ((512, 1, 200), (256, 256)),
+    ((300, 512, 129), (128, 256)),   # rectangular blocks: nq != nkv
+])
+def test_packed_varlen_fwd_bwd_matches_oracle(causal, lens, blocks):
     B, S, Hq, Hkv, D = 3, 512, 4, 2, 64
-    align = 256
+    align = max(blocks)
     q, k, v, do = _make(B, S, Hq, Hkv, D, lens)
     (qp, kp, vp, dop), starts, T = pack_padded_batch(
         [q, k, v, do], lens, align=align)
@@ -44,7 +48,7 @@ def test_packed_varlen_fwd_bwd_matches_oracle(causal, lens):
     def packed_attn(qp, kp, vp):
         return flash_attn_varlen_func(
             qp, kp, vp, cu, seqlens=lens, causal=causal,
-            block_q=256, block_kv=256)
+            block_q=blocks[0], block_kv=blocks[1])
 
     out_p, vjp = jax.vjp(packed_attn, qp, kp, vp)
     grads_p = vjp(dop)
