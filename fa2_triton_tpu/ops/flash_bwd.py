@@ -26,6 +26,7 @@ TPU-native re-design of the reference backward pass
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -1373,8 +1374,9 @@ def flash_attn_backward(
         # Whole-strip causal backward (grid (B, Hkv, group*nq), K/V strips
         # and dk/dv scratch resident): replaces the zigzag fused schedule
         # for causal shapes whose strip fits VMEM.
-        if bwd_causal_strip_ok(causal, static_skip, window, None, varlen,
-                               softcap, Sq, Sk, _sq, _sk, head_dim=D):
+        if (bwd_causal_strip_ok(causal, static_skip, window, None, varlen,
+                                softcap, Sq, Sk, _sq, _sk, head_dim=D)
+                and not os.environ.get("FA2_DISABLE_STRIP")):
             sub_s, wide_s = 512, 4  # v5e-swept default
             ov = autotune_lookup("strip_bwd", True, D, Sk)
             if ov is not None:

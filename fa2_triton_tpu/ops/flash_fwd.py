@@ -34,6 +34,7 @@ unchanged per KV shard.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -853,8 +854,9 @@ def flash_attn_forward(
     # Longer causal sequences (S >= 4096 at D=128, where tri_square's VMEM
     # and compile budgets run out) use the whole-strip causal kernel when
     # the strip fits VMEM.
-    ok_strip = causal_strip_ok(causal, static_skip, window, bias, varlen,
-                               Sq, Sk, sq_real, sk_real, head_dim=D)
+    ok_strip = (causal_strip_ok(causal, static_skip, window, bias, varlen,
+                                Sq, Sk, sq_real, sk_real, head_dim=D)
+                and not os.environ.get("FA2_DISABLE_STRIP"))
     if causal_strip if causal_strip is not None else ok_strip:
         assert ok_strip, "causal_strip forced but preconditions not met"
         # v5e-swept default; a persisted per-chip table (bench.py --tune)
