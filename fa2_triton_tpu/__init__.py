@@ -17,7 +17,18 @@ from fa2_triton_tpu.ops import (
     unpack_padded_batch,
 )
 
+def __getattr__(name):
+    # Lazy: the linen layer pulls in flax, which plain kernel users may not
+    # want on the import path.
+    if name == "FlashSelfAttention":
+        from fa2_triton_tpu.layers import FlashSelfAttention
+
+        return FlashSelfAttention
+    raise AttributeError(name)
+
+
 __all__ = [
+    "FlashSelfAttention",
     "flash_attn_func",
     "flash_attn_reference",
     "flash_attn_varlen_func",
