@@ -19,17 +19,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS_DATA = "data"
 AXIS_MODEL = "model"
 AXIS_SEQ = "seq"
+AXIS_PIPE = "pipe"
 
 
 def make_mesh(
     data: int = 1,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """Named mesh over (data, model, seq) — plus a leading `pipe` axis when
+    pipeline parallelism is requested. `pipe` comes FIRST (slowest-varying
+    devices): stage-boundary ppermutes move one activation per microbatch
+    and tolerate DCN latency, while `model`/`seq` collectives fire per layer
+    and must stay on the fastest (ICI-adjacent) device groups. The axis is
+    only materialized when pipe > 1 so existing 3-axis consumers (serving's
+    axis scan, sharding tables) see an unchanged mesh otherwise."""
     devices = list(devices if devices is not None else jax.devices())
-    need = data * model * seq
+    need = data * model * seq * pipe
     assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    if pipe > 1:
+        arr = np.array(devices[:need]).reshape(pipe, data, model, seq)
+        return Mesh(arr, (AXIS_PIPE, AXIS_DATA, AXIS_MODEL, AXIS_SEQ))
     arr = np.array(devices[:need]).reshape(data, model, seq)
     return Mesh(arr, (AXIS_DATA, AXIS_MODEL, AXIS_SEQ))
 
