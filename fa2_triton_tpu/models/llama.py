@@ -136,6 +136,18 @@ def _psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
 
 def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig,
                psum_axis: Optional[str] = None) -> jax.Array:
+    if "router" in layer:
+        # MoE layer (models/moe.py pytree): every llama code path — training
+        # forward, prefill, batched/paged decode, chunked prefill, the
+        # serving Engine — serves MoE params through this dispatch. The
+        # DENSE all-experts path is used on purpose: capacity routing makes
+        # a token's output depend on what else is co-batched (a correctness
+        # hazard under continuous batching), while dense is batch-invariant
+        # and exact. Expert weights ride replicated under TP serving (only
+        # attention shards), so no psum is needed here.
+        from fa2_triton_tpu.models.moe import moe_mlp_dense
+
+        return moe_mlp_dense(layer, x, cfg)[0]
     h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
     gated = jax.nn.silu(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
     return x + _psum(_mm(gated, layer["w_down"]), psum_axis)

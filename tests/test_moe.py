@@ -136,3 +136,28 @@ def test_loss_fn_includes_aux():
                                 cfg.vocab_size)
     full = moe.loss_fn(params, tokens, cfg)
     assert bool(jnp.isfinite(full))
+
+
+def test_moe_serves_through_engine():
+    """The continuous-batching Engine serves MoE params end to end: llama's
+    `_mlp_block` dispatches MoE layers (router key) to the dense drop-free
+    MLP, so prefill + batched decode reproduce the full-forward greedy path
+    exactly (batch-invariance is the point of the dense inference path)."""
+    from fa2_triton_tpu.runtime import Engine
+
+    cfg = _cfg(max_seq_len=128)
+    params = moe.init_params(jax.random.PRNGKey(9), cfg)
+    rng = np.random.RandomState(2)
+    prompt = rng.randint(0, cfg.vocab_size, size=9).tolist()
+    n_new = 3
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = moe.forward(params, jnp.asarray([toks], jnp.int32), cfg,
+                             mlp_fn=moe.moe_mlp_dense)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    ref = toks[len(prompt):]
+
+    eng = Engine(params, cfg, n_slots=2, max_seq=128)
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run()
+    assert req.done and req.out_tokens == ref, (req.out_tokens, ref)
