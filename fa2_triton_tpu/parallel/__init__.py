@@ -9,6 +9,7 @@ from fa2_triton_tpu.parallel.mesh import (
 from fa2_triton_tpu.parallel.attention import make_tp_attention
 from fa2_triton_tpu.parallel.mesh import AXIS_PIPE
 from fa2_triton_tpu.parallel.pipeline import (
+    make_llama_3d_forward,
     make_llama_pipeline_forward,
     make_pipeline,
     pipeline_params_from_llama,
@@ -19,6 +20,6 @@ __all__ = [
     "AXIS_DATA", "AXIS_MODEL", "AXIS_PIPE", "AXIS_SEQ",
     "make_mesh", "param_pspecs", "shard_params",
     "make_tp_attention", "make_ring_attention", "ring_attention_local",
-    "make_pipeline", "make_llama_pipeline_forward",
+    "make_pipeline", "make_llama_pipeline_forward", "make_llama_3d_forward",
     "pipeline_params_from_llama",
 ]

@@ -145,13 +145,142 @@ def make_llama_pipeline_forward(
     return forward
 
 
-def pipeline_params_from_llama(params: Params, mesh: Optional[Mesh] = None
-                               ) -> Params:
+def _stacked_3d_specs(stacked: Params) -> Params:
+    """Per-leaf PartitionSpecs for the layer-stacked pytree under the
+    composed pp x tp mesh: leading layer axis on `pipe`, Megatron head/hidden
+    sharding on `model` (wq/wk/wv/w_gate/w_up shard the output dim, wo/w_down
+    the input dim), norms pipe-only."""
+    from fa2_triton_tpu.parallel.mesh import AXIS_MODEL
+
+    table = {
+        "wq": P(AXIS_PIPE, None, AXIS_MODEL),
+        "wk": P(AXIS_PIPE, None, AXIS_MODEL),
+        "wv": P(AXIS_PIPE, None, AXIS_MODEL),
+        "wo": P(AXIS_PIPE, AXIS_MODEL, None),
+        "w_gate": P(AXIS_PIPE, None, AXIS_MODEL),
+        "w_up": P(AXIS_PIPE, None, AXIS_MODEL),
+        "w_down": P(AXIS_PIPE, AXIS_MODEL, None),
+    }
+
+    def spec(path, leaf):
+        name = [p.key if hasattr(p, "key") else str(p) for p in path][-1]
+        return table.get(name, P(AXIS_PIPE))
+
+    return jax.tree_util.tree_map_with_path(spec, stacked)
+
+
+def make_llama_3d_forward(
+    mesh: Mesh,
+    cfg,
+    n_microbatches: int,
+):
+    """Composed pp x dp x tp training forward: the GPipe schedule over
+    `pipe`, microbatch batch dim sharded over `data`, and Megatron tensor
+    parallelism over `model` inside every stage (local-head flash attention
+    — collective-free, the GQA head axis shards cleanly — plus psum'd
+    wo/w_down row-parallel projections). One shard_map over all three axes;
+    reverse-mode AD transposes psum/ppermute so grads pipeline too.
+
+    Returns `fn(pipe_params, tokens [B, S]) -> logits` with B divisible by
+    n_microbatches * data. Build pipe_params with
+    `pipeline_params_from_llama(params, mesh, tp=True)`.
+    """
+    import dataclasses
+
+    from fa2_triton_tpu.models.llama import rms_norm, rope_cos_sin, apply_rope
+    from fa2_triton_tpu.ops.attention import flash_attn_func
+    from fa2_triton_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL
+
+    n_stages = int(mesh.shape[AXIS_PIPE])
+    tp = int(mesh.shape.get(AXIS_MODEL, 1))
+    M = n_microbatches
+    assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
+        (cfg.n_heads, cfg.n_kv_heads, tp)
+    hq, hkv = cfg.n_heads // tp, cfg.n_kv_heads // tp
+    window = (cfg.sliding_window, 0) if cfg.sliding_window >= 0 else (-1, -1)
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def stage_fn(local_layers: Params, x: jax.Array) -> jax.Array:
+        mb, S, _ = x.shape
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (mb, S))
+        cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+        cs, sn = cos[:, :, None, :], sin[:, :, None, :]
+
+        def psum_tp(v):
+            return jax.lax.psum(v, AXIS_MODEL) if tp > 1 else v
+
+        def body(x, layer):
+            h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            q = apply_rope((h @ layer["wq"]).reshape(mb, S, hq, cfg.hd), cs, sn)
+            k = apply_rope((h @ layer["wk"]).reshape(mb, S, hkv, cfg.hd), cs, sn)
+            v = (h @ layer["wv"]).reshape(mb, S, hkv, cfg.hd)
+            attn = flash_attn_func(q, k, v, causal=True, window_size=window)
+            x = x + psum_tp(attn.reshape(mb, S, hq * cfg.hd) @ layer["wo"])
+            h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+            gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])
+            return x + psum_tp(gated @ layer["w_down"]), None
+
+        return jax.lax.scan(body, x, local_layers)[0]
+
+    def pipelined(local_layers: Params, xs: jax.Array) -> jax.Array:
+        idx = jax.lax.axis_index(AXIS_PIPE)
+        state = jnp.zeros_like(xs[0])
+        banked = jnp.zeros_like(xs)
+
+        def tick(carry, t):
+            state, banked = carry
+            inp = jnp.where(idx == 0, xs[jnp.clip(t, 0, M - 1)], state)
+            out = stage_fn(local_layers, inp)
+            m = t - (n_stages - 1)
+            mc = jnp.clip(m, 0, M - 1)
+            write = (idx == n_stages - 1) & (m >= 0)
+            banked = banked.at[mc].set(jnp.where(write, out, banked[mc]))
+            state = jax.lax.ppermute(out, AXIS_PIPE, perm)
+            return (state, banked), None
+
+        (_, banked), _ = jax.lax.scan(
+            tick, (state, banked), jnp.arange(M + n_stages - 1))
+        return jax.lax.psum(
+            jnp.where(idx == n_stages - 1, banked, jnp.zeros_like(banked)),
+            AXIS_PIPE,
+        )
+
+    def run_pipeline(stacked, xs):
+        specs = _stacked_3d_specs(stacked)
+        return jax.shard_map(
+            pipelined, mesh=mesh,
+            in_specs=(specs, P(None, AXIS_DATA)),
+            out_specs=P(None, AXIS_DATA),
+            check_vma=False,
+        )(stacked, xs)
+
+    def forward(pipe_params: Params, tokens: jax.Array) -> jax.Array:
+        B, S = tokens.shape
+        assert B % n_microbatches == 0, (B, n_microbatches)
+        x = pipe_params["embed"][tokens]
+        xs = x.reshape(n_microbatches, B // n_microbatches, S, -1)
+        ys = run_pipeline(pipe_params["stacked"], xs).reshape(B, S, -1)
+        ys = rms_norm(ys, pipe_params["final_norm"], cfg.norm_eps)
+        return (ys @ pipe_params["lm_head"]).astype(jnp.float32)
+
+    return forward
+
+
+def pipeline_params_from_llama(params: Params, mesh: Optional[Mesh] = None,
+                               tp: bool = False) -> Params:
     """Repack llama-style params (list-of-layer-dicts) for the pipeline:
-    stack layers and, if a mesh is given, shard the stack over `pipe`."""
+    stack layers and, if a mesh is given, shard the stack over `pipe` (plus
+    Megatron `model`-axis sharding when tp=True, for `make_llama_3d_forward`)."""
     stacked = stack_layer_params(params["layers"])
     if mesh is not None:
-        stacked = shard_stacked_layers(stacked, mesh)
+        if tp:
+            specs = _stacked_3d_specs(stacked)
+            stacked = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                stacked, specs)
+        else:
+            stacked = shard_stacked_layers(stacked, mesh)
     return {
         "embed": params["embed"],
         "stacked": stacked,

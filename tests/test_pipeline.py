@@ -98,3 +98,33 @@ def test_pipeline_gradients_match_sequential():
     for a, b in zip(flat_ref, flat_pipe):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_llama_3d_pp_dp_tp_matches_single_device():
+    """Composed pp=2 x dp=2 x tp=2 (all 8 virtual devices) forward must
+    match the plain single-device model, and grads must flow."""
+    cfg = _cfg(n_layers=4)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (8, 32), 0,
+                                cfg.vocab_size)
+    ref = forward(params, tokens, cfg)
+
+    from fa2_triton_tpu.parallel.pipeline import make_llama_3d_forward
+
+    mesh = make_mesh(pipe=2, data=2, model=2)
+    f3d = make_llama_3d_forward(mesh, cfg, n_microbatches=2)
+    pp = pipeline_params_from_llama(params, mesh, tp=True)
+    with mesh:
+        out = jax.jit(f3d)(pp, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss(pp):
+        logits = f3d(pp, tokens)
+        return jnp.mean(jax.nn.log_softmax(logits) ** 2)
+
+    with mesh:
+        g = jax.jit(jax.grad(loss))(pp)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(bool(jnp.any(l != 0)) for l in leaves)
