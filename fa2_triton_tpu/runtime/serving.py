@@ -7,7 +7,7 @@ short and long generations share the batch without head-of-line blocking.
 
 All device work is jitted: prompt prefill per power-of-two length bucket
 (bounded recompiles) and ONE batched decode step over all slots (inactive
-slots step harmlessly and are ignored). Greedy sampling; tokens/s metrics.
+slots step harmlessly and are ignored). Greedy decode by default, with\nper-request temperature/top-k/top-p sampling (`runtime/sampling.py`);\ntokens/s metrics.
 """
 from __future__ import annotations
 
@@ -26,6 +26,7 @@ from fa2_triton_tpu.models.llama import (
     LlamaConfig, decode_step, prefill_forward,
 )
 from fa2_triton_tpu.runtime.kv_cache import KVCacheConfig, init_cache, write_kv
+from fa2_triton_tpu.runtime.sampling import GREEDY, SamplingParams, sample_tokens
 from fa2_triton_tpu.utils import next_power_of_2
 
 
@@ -36,6 +37,10 @@ class Request:
     max_new_tokens: int
     out_tokens: List[int] = field(default_factory=list)
     done: bool = False
+    # Per-request sampling (temperature/top-k/top-p/seed); GREEDY default.
+    # Deterministic by construction: token i comes from fold_in(seed, i)
+    # (`runtime/sampling.py`), so retries and preemption-resumes reproduce.
+    sampling: SamplingParams = GREEDY
 
 
 @dataclass
@@ -166,6 +171,12 @@ class Engine:
         # throughput bottleneck); the device copy is rebuilt per step (one
         # cheap async H2D).
         self.lens_np = np.zeros((n_slots,), np.int32)
+        # Per-slot sampling params mirrored on host (rebuilt per step like
+        # lens; empty slots keep greedy defaults and their draws are unused).
+        self.temp_np = np.zeros((n_slots,), np.float32)
+        self.topk_np = np.zeros((n_slots,), np.int32)
+        self.topp_np = np.ones((n_slots,), np.float32)
+        self.seed_np = np.zeros((n_slots,), np.uint32)
         self.last_tokens = jnp.zeros((n_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.queue: List[Request] = []
@@ -179,7 +190,8 @@ class Engine:
             n_extra = 2 if paged else 1  # (pools, tables) vs (caches)
             cspec = jax.tree.map(lambda _: self._cache_spec_leaf,
                                  self.pcache.pools if paged else self.caches)
-            in_specs = (self._pspecs, P(), cspec) + (P(),) * n_extra
+            in_specs = (self._pspecs, P(), cspec) + (P(),) * n_extra \
+                + ((P(),) * 5,)
             decode_fn = jax.shard_map(
                 decode_fn, mesh=self.mesh,
                 in_specs=in_specs, out_specs=(P(), cspec),
@@ -190,28 +202,29 @@ class Engine:
 
     # ---------------- jitted device functions ---------------------------
 
-    def _decode_impl(self, params, tokens, caches, lens):
+    def _decode_impl(self, params, tokens, caches, lens, samp):
         logits, caches = decode_step(
             params, tokens, self.cfg_local, caches, lens, self.kv_cfg_local,
             psum_axis=self._psum_axis,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), caches
+        return sample_tokens(logits, *samp), caches
 
-    def _decode_impl_paged(self, params, tokens, pools, tables, lens):
+    def _decode_impl_paged(self, params, tokens, pools, tables, lens, samp):
         from fa2_triton_tpu.models.llama import paged_decode_step
 
         logits, pools = paged_decode_step(
             params, tokens, self.cfg_local, pools, tables, lens,
             self.kv_cfg_local, psum_axis=self._psum_axis,
         )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
+        return sample_tokens(logits, *samp), pools
 
     def _get_prefill(self, s_pad: int):
         if s_pad not in self._prefill_cache:
             if self.paged:
                 from fa2_triton_tpu.runtime.paged_cache import write_tokens_paged
 
-                def _prefill(params, tokens, true_len, pools, tables, slot):
+                def _prefill(params, tokens, true_len, pools, tables, slot,
+                             samp):
                     logits, kvs = prefill_forward(
                         params, tokens, true_len, self.cfg_local,
                         psum_axis=self._psum_axis,
@@ -225,10 +238,12 @@ class Engine:
                                            self.kv_cfg_local)
                         for pool, (k, v) in zip(pools, kvs)
                     ]
-                    next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
+                    row = jax.lax.dynamic_slice_in_dim(
+                        logits[0], true_len[0] - 1, 1, axis=0)
+                    next_tok = sample_tokens(row, *samp)[0]
                     return next_tok, new_pools
             else:
-                def _prefill(params, tokens, true_len, caches, slot):
+                def _prefill(params, tokens, true_len, caches, slot, samp):
                     logits, kvs = prefill_forward(
                         params, tokens, true_len, self.cfg_local,
                         psum_axis=self._psum_axis,
@@ -242,7 +257,9 @@ class Engine:
                             jnp.zeros((1,), jnp.int32), self.kv_cfg_local,
                         )
                         new_caches.append(cache_write_back(cache, upd, slot))
-                    next_tok = jnp.argmax(logits[0, true_len[0] - 1]).astype(jnp.int32)
+                    row = jax.lax.dynamic_slice_in_dim(
+                        logits[0], true_len[0] - 1, 1, axis=0)
+                    next_tok = sample_tokens(row, *samp)[0]
                     return next_tok, new_caches
 
             fn = _prefill
@@ -252,8 +269,9 @@ class Engine:
                     self.pcache.pools if self.paged else self.caches,
                 )
                 in_specs = (
-                    (self._pspecs, P(), P(), cspec, P(), P()) if self.paged
-                    else (self._pspecs, P(), P(), cspec, P())
+                    (self._pspecs, P(), P(), cspec, P(), P(), (P(),) * 5)
+                    if self.paged
+                    else (self._pspecs, P(), P(), cspec, P(), (P(),) * 5)
                 )
                 fn = jax.shard_map(
                     fn, mesh=self.mesh, in_specs=in_specs,
@@ -267,7 +285,8 @@ class Engine:
         if "chunk" not in self._prefill_cache:
             from fa2_triton_tpu.models.llama import chunk_prefill_step
 
-            def _chunk(params, tokens, chunk_len, cache_len, caches, slot):
+            def _chunk(params, tokens, chunk_len, cache_len, caches, slot,
+                       samp):
                 views = [cache_slice(c, slot) for c in caches]
                 logits, new_views = chunk_prefill_step(
                     params, tokens, chunk_len, cache_len, self.cfg_local,
@@ -275,7 +294,7 @@ class Engine:
                 )
                 new_caches = [cache_write_back(c, u, slot)
                               for c, u in zip(caches, new_views)]
-                next_tok = jnp.argmax(logits[0]).astype(jnp.int32)
+                next_tok = sample_tokens(logits[0][None], *samp)[0]
                 return next_tok, new_caches
 
             fn = _chunk
@@ -284,7 +303,8 @@ class Engine:
                     lambda _: self._cache_spec_leaf, self.caches)
                 fn = jax.shard_map(
                     fn, mesh=self.mesh,
-                    in_specs=(self._pspecs, P(), P(), P(), cspec, P()),
+                    in_specs=(self._pspecs, P(), P(), P(), cspec, P(),
+                              (P(),) * 5),
                     out_specs=(P(), cspec), check_vma=False,
                 )
             self._prefill_cache["chunk"] = jax.jit(fn, donate_argnums=(4,))
@@ -303,6 +323,7 @@ class Engine:
                 self.params, jnp.asarray(tokens),
                 jnp.asarray([len(chunk)], jnp.int32),
                 jnp.asarray([pos], jnp.int32), self.caches, slot,
+                self._samp1(req),
             )
             pos += len(chunk)
             self.stats.prefill_tokens += len(chunk)
@@ -318,9 +339,45 @@ class Engine:
 
     # ---------------- scheduling ----------------------------------------
 
-    def submit(self, prompt: List[int], max_new_tokens: int) -> Request:
+    def _samp1(self, req: Request):
+        """Sampling-arg tuple for a single-request (B=1) device call; the
+        step counter is the number of tokens already generated (nonzero when
+        a preempted request re-prefills its partial generation)."""
+        sp = req.sampling
+        return (
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.top_p], jnp.float32),
+            jnp.asarray([sp.seed], jnp.uint32),
+            jnp.asarray([len(req.out_tokens)], jnp.int32),
+        )
+
+    def _samp_batch(self):
+        """Per-slot sampling args for the batched decode step."""
+        steps = np.zeros((len(self.slot_req),), np.int32)
+        for s_, r in enumerate(self.slot_req):
+            if r is not None:
+                steps[s_] = len(r.out_tokens)
+        return (
+            jnp.asarray(self.temp_np),
+            jnp.asarray(self.topk_np),
+            jnp.asarray(self.topp_np),
+            jnp.asarray(self.seed_np),
+            jnp.asarray(steps),
+        )
+
+    def _set_slot_sampling(self, slot: int, req: Request):
+        sp = req.sampling
+        self.temp_np[slot] = sp.temperature
+        self.topk_np[slot] = sp.top_k
+        self.topp_np[slot] = sp.top_p
+        self.seed_np[slot] = np.uint32(sp.seed)
+
+    def submit(self, prompt: List[int], max_new_tokens: int,
+               sampling: Optional[SamplingParams] = None) -> Request:
         req = Request(rid=len(self.queue), prompt=list(prompt),
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens,
+                      sampling=sampling or GREEDY)
         self.queue.append(req)
         return req
 
@@ -335,6 +392,7 @@ class Engine:
                 # across subsequent steps (decode keeps running meanwhile).
                 assert len(req.prompt) <= self._max_seq_padded
                 self.slot_req[slot] = req
+                self._set_slot_sampling(slot, req)
                 self._prefilling[slot] = 0
                 # The batched decode runs over ALL slots every step and
                 # writes each slot's new-token KV at its lens — a mid-prefill
@@ -359,17 +417,20 @@ class Engine:
                     return
                 next_tok, self.pcache.pools = self._get_prefill(s_pad)(
                     self.params, jnp.asarray(tokens), true_len,
-                    self.pcache.pools, self.pcache.tables_device(), slot
+                    self.pcache.pools, self.pcache.tables_device(), slot,
+                    self._samp1(req),
                 )
             else:
                 next_tok, self.caches = self._get_prefill(s_pad)(
-                    self.params, jnp.asarray(tokens), true_len, self.caches, slot
+                    self.params, jnp.asarray(tokens), true_len, self.caches,
+                    slot, self._samp1(req),
                 )
             self.stats.prefill_tokens += len(req.prompt)
             self.lens_np[slot] = len(req.prompt)
             self.last_tokens = self.last_tokens.at[slot].set(next_tok)
             req.out_tokens.append(int(next_tok))
             self.slot_req[slot] = req
+            self._set_slot_sampling(slot, req)
             self._maybe_finish(slot)
 
     def _maybe_finish(self, slot: int):
@@ -421,9 +482,10 @@ class Engine:
                     except MemoryError:
                         # Pool exhausted mid-generation: preempt another
                         # active sequence (vLLM-style) — requeue it with its
-                        # progress folded into the prompt (greedy decode is
-                        # deterministic, so it resumes identically), release
-                        # its pages, retry.
+                        # progress folded into the prompt (decode is
+                        # deterministic — greedy, and sampled tokens come
+                        # from a per-(seed, position) counter stream — so it
+                        # resumes identically), release its pages, retry.
                         victims = [v for v in active if v != s
                                    and self.slot_req[v] is not None]
                         if not victims:
@@ -437,12 +499,13 @@ class Engine:
             lens_dev = jnp.asarray(self.lens_np)
             next_tokens, self.pcache.pools = self._decode(
                 self.params, self.last_tokens, self.pcache.pools,
-                self.pcache.tables_device(), lens_dev
+                self.pcache.tables_device(), lens_dev, self._samp_batch()
             )
         else:
             lens_dev = jnp.asarray(self.lens_np)
             next_tokens, self.caches = self._decode(
-                self.params, self.last_tokens, self.caches, lens_dev
+                self.params, self.last_tokens, self.caches, lens_dev,
+                self._samp_batch()
             )
         # The ONLY per-step device read: the freshly generated tokens.
         next_np = np.asarray(next_tokens)
@@ -507,9 +570,11 @@ class DataParallelEngine:
         self.queue: List[Request] = []
         self._rid = 0
 
-    def submit(self, prompt: List[int], max_new_tokens: int) -> Request:
+    def submit(self, prompt: List[int], max_new_tokens: int,
+               sampling: Optional[SamplingParams] = None) -> Request:
         req = Request(rid=self._rid, prompt=list(prompt),
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens,
+                      sampling=sampling or GREEDY)
         self._rid += 1
         self.queue.append(req)
         return req
