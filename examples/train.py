@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--ckpt-dir", default="/tmp/fa2_train_ckpt")
     ap.add_argument("--save-every", type=int, default=5)
+    ap.add_argument("--moe", type=int, default=0, metavar="E",
+                    help="train a MoE model with E experts (top-2 routing)")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-layer gradient checkpointing")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +49,10 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from fa2_triton_tpu.models import LlamaConfig, init_params, loss_fn
+    if args.moe:
+        from fa2_triton_tpu.models.moe import (
+            MoEConfig as LlamaConfig, init_params, loss_fn,
+        )
     from fa2_triton_tpu.parallel import AXIS_DATA, make_mesh, shard_params
     from fa2_triton_tpu.utils.profiling import roofline
     from fa2_triton_tpu.utils.resilience import ResilientTrainer, devices_healthy
@@ -52,10 +60,12 @@ def main():
     assert devices_healthy(jax.devices()), "device probe failed"
     mesh = make_mesh(data=args.dp, model=args.tp)
     on_tpu = jax.devices()[0].platform == "tpu"
+    extra = dict(n_experts=args.moe) if args.moe else {}
     cfg = LlamaConfig(
         vocab_size=32000, dim=args.dim, n_layers=args.layers,
         n_heads=8, n_kv_heads=2, hidden_dim=int(args.dim * 2.75) // 128 * 128,
         max_seq_len=args.seq, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        remat=args.remat, **extra,
     )
     params = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh)
     opt = optax.adamw(3e-4, weight_decay=0.01)

@@ -41,6 +41,12 @@ class LlamaConfig:
     # native window support (`ops/flash_fwd.py`), a feature the reference
     # only has in its oracle (`reference_implementation.py:8-35`).
     sliding_window: int = -1
+    # Gradient checkpointing: rematerialize each transformer layer in the
+    # backward pass instead of saving its activations — the HBM-for-FLOPs
+    # trade that lets long-sequence training fit (the flash kernels already
+    # recompute attention probabilities from the LSE; this extends the same
+    # policy to the whole layer).
+    remat: bool = False
 
     @property
     def hd(self) -> int:
@@ -184,9 +190,15 @@ def forward(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
-    for layer in params["layers"]:
+
+    def block(layer, x):
         x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
-        x = _mlp_block(layer, x, cfg)
+        return _mlp_block(layer, x, cfg)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(layer, x)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x, params["lm_head"]).astype(jnp.float32)
 

@@ -243,10 +243,15 @@ def forward(
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    def block(layer, x):
+        x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
+        return mlp_fn(layer, x, cfg)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
     aux = jnp.float32(0.0)
     for layer in params["layers"]:
-        x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
-        x, a = mlp_fn(layer, x, cfg)
+        x, a = block(layer, x)
         aux = aux + a
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)

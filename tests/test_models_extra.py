@@ -82,3 +82,28 @@ def test_llama_sliding_window_forward_differs_from_full():
     # Early positions (inside the window) agree; late positions must not.
     assert float(jnp.max(jnp.abs(lw[:, :8] - lf[:, :8]))) < 1e-4
     assert float(jnp.max(jnp.abs(lw[:, -1] - lf[:, -1]))) > 1e-4
+
+
+def test_remat_matches_no_remat():
+    """cfg.remat=True (per-layer rematerialization) must not change the loss
+    or the gradients — only the memory/FLOPs trade."""
+    import dataclasses
+
+    import numpy as np
+
+    from fa2_triton_tpu.models import LlamaConfig, init_params, loss_fn
+
+    cfg = LlamaConfig(vocab_size=128, dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=2, hidden_dim=96, max_seq_len=64,
+                      dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 33), 0,
+                                cfg.vocab_size)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
