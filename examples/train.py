@@ -39,6 +39,8 @@ def main():
                     help="train a MoE model with E experts (top-2 routing)")
     ap.add_argument("--remat", action="store_true",
                     help="per-layer gradient checkpointing")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-3: shard params/grads/optimizer over data")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +55,9 @@ def main():
         from fa2_triton_tpu.models.moe import (
             MoEConfig as LlamaConfig, init_params, loss_fn,
         )
-    from fa2_triton_tpu.parallel import AXIS_DATA, make_mesh, shard_params
+    from fa2_triton_tpu.parallel import (
+        AXIS_DATA, fsdp_param_pspecs, make_mesh, shard_params,
+    )
     from fa2_triton_tpu.utils.profiling import roofline
     from fa2_triton_tpu.utils.resilience import ResilientTrainer, devices_healthy
 
@@ -67,7 +71,9 @@ def main():
         max_seq_len=args.seq, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         remat=args.remat, **extra,
     )
-    params = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    specs = fsdp_param_pspecs(params, mesh) if args.fsdp else None
+    params = shard_params(params, mesh, specs=specs)
     opt = optax.adamw(3e-4, weight_decay=0.01)
     state = {"params": params, "opt": opt.init(params), "step": jnp.int32(0)}
 

@@ -1,5 +1,6 @@
 from fa2_triton_tpu.parallel.mesh import (
     AXIS_DATA,
+    fsdp_param_pspecs,
     AXIS_MODEL,
     AXIS_SEQ,
     make_mesh,
@@ -18,7 +19,7 @@ from fa2_triton_tpu.parallel.ring import make_ring_attention, ring_attention_loc
 
 __all__ = [
     "AXIS_DATA", "AXIS_MODEL", "AXIS_PIPE", "AXIS_SEQ",
-    "make_mesh", "param_pspecs", "shard_params",
+    "make_mesh", "param_pspecs", "shard_params", "fsdp_param_pspecs",
     "make_tp_attention", "make_ring_attention", "ring_attention_local",
     "make_pipeline", "make_llama_pipeline_forward", "make_llama_3d_forward",
     "pipeline_params_from_llama",

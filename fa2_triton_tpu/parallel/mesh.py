@@ -126,3 +126,33 @@ def shard_params(params, mesh: Mesh, specs=None):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def fsdp_param_pspecs(params, mesh: Optional[Mesh] = None,
+                      axis: str = AXIS_DATA, min_size: int = 2 ** 14):
+    """ZeRO-3 / FSDP-style PartitionSpecs: every large weight shards one dim
+    over the `data` axis, so parameters, gradients, AND optimizer state live
+    sharded (each device stores 1/dp of them). Under `jit` the partitioner
+    materializes the standard FSDP schedule from these annotations alone:
+    all-gather a layer's weights right before use, reduce-scatter its grads
+    — the scaling-book recipe, no hand-written collectives.
+
+    The sharded dim is the largest one divisible by the axis size (pass
+    `mesh` to honor divisibility; replicates when none divides); small
+    leaves (norms, scalars) stay replicated — sharding them costs more in
+    collective latency than the bytes saved.
+    """
+    n = int(mesh.shape[axis]) if mesh is not None else None
+
+    def spec(path, leaf):
+        if leaf.ndim < 1 or leaf.size < min_size:
+            return P()
+        dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+        for d in dims:
+            if n is None or leaf.shape[d] % n == 0:
+                out = [None] * leaf.ndim
+                out[d] = axis
+                return P(*out)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
