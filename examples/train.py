@@ -41,6 +41,9 @@ def main():
                     help="per-layer gradient checkpointing")
     ap.add_argument("--fsdp", action="store_true",
                     help="ZeRO-3: shard params/grads/optimizer over data")
+    ap.add_argument("--data", default=None, metavar="FILE",
+                    help="flat binary token corpus (utils/data.py); "
+                         "synthetic random tokens when omitted")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +116,19 @@ def main():
     flops_per_step = 6 * n_params * tokens_per_step
 
     def batches():
+        if args.data:
+            from itertools import islice
+
+            from fa2_triton_tpu.utils.data import (
+                TokenLoader, open_corpus, prefetch_to_device,
+            )
+
+            dl = TokenLoader(open_corpus(args.data, cfg.vocab_size),
+                             args.batch, args.seq - 1, seed=0)
+            yield from prefetch_to_device(
+                islice(iter(dl), args.steps), size=2,
+                sharding=batch_sharding)
+            return
         for _ in range(args.steps):
             b = rng.randint(0, cfg.vocab_size, size=(args.batch, args.seq))
             yield jax.device_put(jnp.asarray(b, jnp.int32), batch_sharding)
