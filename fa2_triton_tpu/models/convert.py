@@ -1,0 +1,95 @@
+"""HuggingFace checkpoint conversion: `transformers` Llama -> param pytree.
+
+The bridge that lets real checkpoints run on this framework's kernels: map
+a `LlamaForCausalLM` state dict onto `models/llama.py`'s pytree (and config)
+so training, serving, quantization, and every sharding path work on
+published weights. Conventions line up directly:
+
+- torch Linear stores [out, in]; our matmuls are x @ W with W [in, out] —
+  every projection transposes.
+- HF rotary is the split-half ("rotate_half") form with
+  `inv_freq = theta^(-2i/d)` — exactly `llama.py:rope_cos_sin/apply_rope`.
+- HF q/k/v projections emit head-major rows; our [B, S, H, hd] reshape
+  reads the output dim head-major — no permutation needed (incl. GQA).
+
+Verified end to end by `tests/test_convert.py`: logits parity vs the
+`transformers` forward on random tiny configs (MHA + GQA).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fa2_triton_tpu.models.llama import LlamaConfig
+
+Params = Dict[str, Any]
+
+
+def _t(x, dtype) -> jnp.ndarray:
+    """torch tensor / array -> transposed jnp array (Linear [out,in] -> [in,out])."""
+    return jnp.asarray(np.asarray(x, np.float32).T).astype(dtype)
+
+
+def _a(x, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(x, np.float32)).astype(dtype)
+
+
+def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads",
+                           hf_config.num_attention_heads),
+        hidden_dim=hf_config.intermediate_size,
+        head_dim=getattr(hf_config, "head_dim", None)
+        or hf_config.hidden_size // hf_config.num_attention_heads,
+        rope_theta=float(getattr(hf_config, "rope_theta", 10000.0)),
+        norm_eps=float(hf_config.rms_norm_eps),
+        max_seq_len=hf_config.max_position_embeddings,
+        dtype=dtype,
+    )
+
+
+def llama_params_from_hf(model, dtype=jnp.bfloat16
+                         ) -> Tuple[Params, LlamaConfig]:
+    """Convert a `transformers.LlamaForCausalLM` (or compatible) instance.
+
+    Norms stay fp32 (our convention); projections/embeddings cast to
+    `dtype`. Handles tied word embeddings (lm_head absent -> reuse embed).
+    """
+    cfg = llama_config_from_hf(model.config, dtype=dtype)
+    sd = {k: v.detach().cpu() for k, v in model.state_dict().items()}
+
+    def g(name):
+        return sd[name]
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "attn_norm": _a(g(p + "input_layernorm.weight")),
+            "wq": _t(g(p + "self_attn.q_proj.weight"), dtype),
+            "wk": _t(g(p + "self_attn.k_proj.weight"), dtype),
+            "wv": _t(g(p + "self_attn.v_proj.weight"), dtype),
+            "wo": _t(g(p + "self_attn.o_proj.weight"), dtype),
+            "mlp_norm": _a(g(p + "post_attention_layernorm.weight")),
+            "w_gate": _t(g(p + "mlp.gate_proj.weight"), dtype),
+            "w_up": _t(g(p + "mlp.up_proj.weight"), dtype),
+            "w_down": _t(g(p + "mlp.down_proj.weight"), dtype),
+        })
+    embed = _a(g("model.embed_tokens.weight"), dtype)  # [vocab, dim], no T
+    if "lm_head.weight" in sd:
+        lm_head = _t(g("lm_head.weight"), dtype)
+    else:  # tied embeddings
+        lm_head = jnp.asarray(np.asarray(embed, np.float32).T).astype(dtype)
+    params = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": _a(g("model.norm.weight")),
+        "lm_head": lm_head,
+    }
+    return params, cfg
