@@ -93,3 +93,51 @@ def llama_params_from_hf(model, dtype=jnp.bfloat16
         "lm_head": lm_head,
     }
     return params, cfg
+
+
+def gpt2_params_from_hf(model, dtype=jnp.float32):
+    """Convert a `transformers.GPT2LMHeadModel` to `models/gpt2.py`'s pytree.
+
+    HF GPT-2 uses Conv1D modules whose weights are ALREADY [in, out] — no
+    transpose (unlike Linear-based Llama). Embeddings are tied in HF GPT-2;
+    the pytree's tied form (`lm_head` absent) matches.
+    """
+    from fa2_triton_tpu.models.gpt2 import GPT2Config
+
+    hc = model.config
+    cfg = GPT2Config(
+        vocab_size=hc.vocab_size, dim=hc.n_embd, n_layers=hc.n_layer,
+        n_heads=hc.n_head, hidden_dim=4 * hc.n_embd,
+        max_seq_len=hc.n_positions, norm_eps=float(hc.layer_norm_epsilon),
+        dtype=dtype, tie_embeddings=True,
+    )
+    sd = {k: v.detach().cpu() for k, v in model.state_dict().items()}
+
+    def g(name):
+        return sd[name]
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"transformer.h.{i}."
+        layers.append({
+            "ln1_g": _a(g(p + "ln_1.weight")),
+            "ln1_b": _a(g(p + "ln_1.bias")),
+            "w_qkv": _a(g(p + "attn.c_attn.weight"), dtype),
+            "b_qkv": _a(g(p + "attn.c_attn.bias")),
+            "w_proj": _a(g(p + "attn.c_proj.weight"), dtype),
+            "b_proj": _a(g(p + "attn.c_proj.bias")),
+            "ln2_g": _a(g(p + "ln_2.weight")),
+            "ln2_b": _a(g(p + "ln_2.bias")),
+            "w_fc": _a(g(p + "mlp.c_fc.weight"), dtype),
+            "b_fc": _a(g(p + "mlp.c_fc.bias")),
+            "w_out": _a(g(p + "mlp.c_proj.weight"), dtype),
+            "b_out": _a(g(p + "mlp.c_proj.bias")),
+        })
+    params = {
+        "wte": _a(g("transformer.wte.weight"), dtype),
+        "wpe": _a(g("transformer.wpe.weight"), dtype),
+        "layers": layers,
+        "lnf_g": _a(g("transformer.ln_f.weight")),
+        "lnf_b": _a(g("transformer.ln_f.bias")),
+    }
+    return params, cfg

@@ -68,3 +68,21 @@ def test_tied_embeddings_supported():
         hf_logits = model(torch.tensor(ids)).logits.numpy()
     ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
+
+
+def test_gpt2_logits_parity_vs_transformers():
+    from fa2_triton_tpu.models import gpt2
+    from fa2_triton_tpu.models.convert import gpt2_params_from_hf
+
+    torch.manual_seed(3)
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=128, n_embd=64, n_layer=2, n_head=4, n_positions=64,
+        attn_implementation="eager",
+    )
+    model = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    params, cfg = gpt2_params_from_hf(model, dtype=jnp.float32)
+    ids = np.random.RandomState(2).randint(0, 128, size=(2, 21))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(gpt2.forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
