@@ -41,6 +41,10 @@ class LlamaConfig:
     # native window support (`ops/flash_fwd.py`), a feature the reference
     # only has in its oracle (`reference_implementation.py:8-35`).
     sliding_window: int = -1
+    # Qwen2-style additive q/k/v projection biases (stored as layer keys
+    # "bq"/"bk"/"bv"; HF-converted checkpoints carry them regardless of this
+    # flag — it only controls from-scratch init).
+    qkv_bias: bool = False
     # Gradient checkpointing: rematerialize each transformer layer in the
     # backward pass instead of saving its activations — the HBM-for-FLOPs
     # trade that lets long-sequence training fit (the flash kernels already

@@ -37,10 +37,16 @@ class SamplingParams:
 GREEDY = SamplingParams()
 
 
-def _sample_row(logits, temp, top_k, top_p, key):
-    """One row [V] -> sampled token (greedy when temp == 0)."""
+def adjust_logits_row(logits, temp, top_k, top_p):
+    """Temperature-scale then top-k/top-p-truncate one logits row [V].
+
+    Returns f32 logits with -inf at truncated entries; `softmax` of the
+    result is the distribution the sampler actually draws from. Shared by
+    the engine sampler below and speculative sampling's accept/reject test
+    (`runtime/speculative.py`), which must score proposals under exactly
+    the distribution the draft/target would sample from.
+    """
     V = logits.shape[-1]
-    greedy = jnp.argmax(logits)
     scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)
 
     # Top-k: drop everything below the k-th largest logit (0 = off).
@@ -59,8 +65,13 @@ def _sample_row(logits, temp, top_k, top_p, key):
     # draw flip on 1e-6 logit noise, e.g. between TP and single-device).
     thresh = jnp.minimum(top_p, csum[-1])
     cutoff = sp[jnp.argmax(csum >= thresh)]
-    scaled = jnp.where(probs >= cutoff, scaled, -jnp.inf)
+    return jnp.where(probs >= cutoff, scaled, -jnp.inf)
 
+
+def _sample_row(logits, temp, top_k, top_p, key):
+    """One row [V] -> sampled token (greedy when temp == 0)."""
+    greedy = jnp.argmax(logits)
+    scaled = adjust_logits_row(logits, temp, top_k, top_p)
     tok = jax.random.categorical(key, scaled)
     return jnp.where(temp <= 0.0, greedy, tok).astype(jnp.int32)
 
@@ -79,3 +90,12 @@ def sample_tokens(
         lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
     )(seeds.astype(jnp.uint32), steps)
     return jax.vmap(_sample_row)(logits, temps, top_ks, top_ps, keys)
+
+
+def sample_tokens_with_logprobs(logits, temps, top_ks, top_ps, seeds, steps):
+    """`sample_tokens` + each chosen token's logprob under the RAW model
+    distribution (temperature/truncation-independent — the scoring
+    convention: what the model assigned, not what the sampler reshaped)."""
+    toks = sample_tokens(logits, temps, top_ks, top_ps, seeds, steps)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return toks, jnp.take_along_axis(logp, toks[:, None], axis=-1)[:, 0]

@@ -26,7 +26,9 @@ from fa2_triton_tpu.models.llama import (
     LlamaConfig, decode_step, prefill_forward,
 )
 from fa2_triton_tpu.runtime.kv_cache import KVCacheConfig, init_cache, write_kv
-from fa2_triton_tpu.runtime.sampling import GREEDY, SamplingParams, sample_tokens
+from fa2_triton_tpu.runtime.sampling import (
+    GREEDY, SamplingParams, sample_tokens_with_logprobs,
+)
 from fa2_triton_tpu.utils import next_power_of_2
 
 
@@ -36,6 +38,9 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     out_tokens: List[int] = field(default_factory=list)
+    # Raw-model logprob of each generated token (scoring convention:
+    # temperature/truncation-independent), parallel to out_tokens.
+    out_logprobs: List[float] = field(default_factory=list)
     done: bool = False
     # Per-request sampling (temperature/top-k/top-p/seed); GREEDY default.
     # Deterministic by construction: token i comes from fold_in(seed, i)
@@ -194,7 +199,7 @@ class Engine:
                 + ((P(),) * 5,)
             decode_fn = jax.shard_map(
                 decode_fn, mesh=self.mesh,
-                in_specs=in_specs, out_specs=(P(), cspec),
+                in_specs=in_specs, out_specs=((P(), P()), cspec),
                 check_vma=False,  # pallas_call outputs cannot carry vma annotations
             )
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
@@ -207,7 +212,7 @@ class Engine:
             params, tokens, self.cfg_local, caches, lens, self.kv_cfg_local,
             psum_axis=self._psum_axis,
         )
-        return sample_tokens(logits, *samp), caches
+        return sample_tokens_with_logprobs(logits, *samp), caches
 
     def _decode_impl_paged(self, params, tokens, pools, tables, lens, samp):
         from fa2_triton_tpu.models.llama import paged_decode_step
@@ -216,7 +221,7 @@ class Engine:
             params, tokens, self.cfg_local, pools, tables, lens,
             self.kv_cfg_local, psum_axis=self._psum_axis,
         )
-        return sample_tokens(logits, *samp), pools
+        return sample_tokens_with_logprobs(logits, *samp), pools
 
     def _get_prefill(self, s_pad: int):
         if s_pad not in self._prefill_cache:
@@ -240,8 +245,8 @@ class Engine:
                     ]
                     row = jax.lax.dynamic_slice_in_dim(
                         logits[0], true_len[0] - 1, 1, axis=0)
-                    next_tok = sample_tokens(row, *samp)[0]
-                    return next_tok, new_pools
+                    tok, lp = sample_tokens_with_logprobs(row, *samp)
+                    return (tok[0], lp[0]), new_pools
             else:
                 def _prefill(params, tokens, true_len, caches, slot, samp):
                     logits, kvs = prefill_forward(
@@ -259,8 +264,8 @@ class Engine:
                         new_caches.append(cache_write_back(cache, upd, slot))
                     row = jax.lax.dynamic_slice_in_dim(
                         logits[0], true_len[0] - 1, 1, axis=0)
-                    next_tok = sample_tokens(row, *samp)[0]
-                    return next_tok, new_caches
+                    tok, lp = sample_tokens_with_logprobs(row, *samp)
+                    return (tok[0], lp[0]), new_caches
 
             fn = _prefill
             if self.tp > 1:
@@ -275,7 +280,7 @@ class Engine:
                 )
                 fn = jax.shard_map(
                     fn, mesh=self.mesh, in_specs=in_specs,
-                    out_specs=(P(), cspec), check_vma=False,  # pallas_call outputs cannot carry vma annotations
+                    out_specs=((P(), P()), cspec), check_vma=False,  # pallas_call outputs cannot carry vma annotations
                 )
             self._prefill_cache[s_pad] = jax.jit(fn, donate_argnums=(3,))
         return self._prefill_cache[s_pad]
@@ -294,8 +299,8 @@ class Engine:
                 )
                 new_caches = [cache_write_back(c, u, slot)
                               for c, u in zip(caches, new_views)]
-                next_tok = sample_tokens(logits[0][None], *samp)[0]
-                return next_tok, new_caches
+                tok, lp = sample_tokens_with_logprobs(logits[0][None], *samp)
+                return (tok[0], lp[0]), new_caches
 
             fn = _chunk
             if self.tp > 1:
@@ -305,7 +310,7 @@ class Engine:
                     fn, mesh=self.mesh,
                     in_specs=(self._pspecs, P(), P(), P(), cspec, P(),
                               (P(),) * 5),
-                    out_specs=(P(), cspec), check_vma=False,
+                    out_specs=((P(), P()), cspec), check_vma=False,
                 )
             self._prefill_cache["chunk"] = jax.jit(fn, donate_argnums=(4,))
         return self._prefill_cache["chunk"]
@@ -319,7 +324,7 @@ class Engine:
             chunk = req.prompt[pos:pos + C]
             tokens = np.zeros((1, C), np.int32)
             tokens[0, :len(chunk)] = chunk
-            next_tok, self.caches = self._get_chunk_prefill()(
+            (next_tok, next_lp), self.caches = self._get_chunk_prefill()(
                 self.params, jnp.asarray(tokens),
                 jnp.asarray([len(chunk)], jnp.int32),
                 jnp.asarray([pos], jnp.int32), self.caches, slot,
@@ -333,6 +338,7 @@ class Engine:
                 self.lens_np[slot] = len(req.prompt)
                 self.last_tokens = self.last_tokens.at[slot].set(next_tok)
                 req.out_tokens.append(int(next_tok))
+                req.out_logprobs.append(float(next_lp))
                 self._maybe_finish(slot)
             else:
                 self._prefilling[slot] = pos
@@ -415,13 +421,13 @@ class Engine:
                 except MemoryError:
                     self.queue.insert(0, req)  # retry when pages free up
                     return
-                next_tok, self.pcache.pools = self._get_prefill(s_pad)(
+                (next_tok, next_lp), self.pcache.pools = self._get_prefill(s_pad)(
                     self.params, jnp.asarray(tokens), true_len,
                     self.pcache.pools, self.pcache.tables_device(), slot,
                     self._samp1(req),
                 )
             else:
-                next_tok, self.caches = self._get_prefill(s_pad)(
+                (next_tok, next_lp), self.caches = self._get_prefill(s_pad)(
                     self.params, jnp.asarray(tokens), true_len, self.caches,
                     slot, self._samp1(req),
                 )
@@ -429,6 +435,7 @@ class Engine:
             self.lens_np[slot] = len(req.prompt)
             self.last_tokens = self.last_tokens.at[slot].set(next_tok)
             req.out_tokens.append(int(next_tok))
+            req.out_logprobs.append(float(next_lp))
             self.slot_req[slot] = req
             self._set_slot_sampling(slot, req)
             self._maybe_finish(slot)
@@ -497,18 +504,20 @@ class Engine:
             if not active:
                 return bool(self.queue)
             lens_dev = jnp.asarray(self.lens_np)
-            next_tokens, self.pcache.pools = self._decode(
+            (next_tokens, next_lps), self.pcache.pools = self._decode(
                 self.params, self.last_tokens, self.pcache.pools,
                 self.pcache.tables_device(), lens_dev, self._samp_batch()
             )
         else:
             lens_dev = jnp.asarray(self.lens_np)
-            next_tokens, self.caches = self._decode(
+            (next_tokens, next_lps), self.caches = self._decode(
                 self.params, self.last_tokens, self.caches, lens_dev,
                 self._samp_batch()
             )
-        # The ONLY per-step device read: the freshly generated tokens.
+        # The ONLY per-step device read: the freshly generated tokens (+
+        # their logprobs, same transfer).
         next_np = np.asarray(next_tokens)
+        lps_np = np.asarray(next_lps)
         active_mask = jnp.asarray(
             [self.slot_req[s] is not None for s in range(len(self.slot_req))]
         )
@@ -518,6 +527,7 @@ class Engine:
             self.lens_np[s] += 1
         for s in active:
             self.slot_req[s].out_tokens.append(int(next_np[s]))
+            self.slot_req[s].out_logprobs.append(float(lps_np[s]))
             self.stats.decode_tokens += 1
             self._maybe_finish(s)
         self.stats.decode_steps += 1

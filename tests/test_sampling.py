@@ -157,3 +157,24 @@ def test_tp_engine_sampled_matches_single_device():
         return r1.out_tokens, r2.out_tokens
 
     assert run(make_mesh(model=2)) == run(None)
+
+
+def test_engine_reports_logprobs():
+    """Every generated token carries its raw-model logprob; greedy tokens'
+    logprobs equal log_softmax at the argmax of a recomputed forward."""
+    from fa2_triton_tpu.models import forward
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    prompt = [3, 5, 8, 13, 21]
+    n_new = 3
+    eng = Engine(params, CFG, n_slots=2, max_seq=256)
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run()
+    assert len(req.out_logprobs) == len(req.out_tokens) == n_new
+    toks = list(prompt)
+    for tok, lp in zip(req.out_tokens, req.out_logprobs):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), CFG)
+        want = float(jax.nn.log_softmax(logits[0, -1])[tok])
+        assert abs(lp - want) < 5e-4, (lp, want)
+        assert lp <= 0.0
+        toks.append(tok)
