@@ -17,6 +17,7 @@ Verified end to end by `tests/test_convert.py`: logits parity vs the
 """
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
@@ -51,6 +52,18 @@ def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
         norm_eps=float(hf_config.rms_norm_eps),
         max_seq_len=hf_config.max_position_embeddings,
         dtype=dtype,
+        # Qwen2 carries additive q/k/v biases (LlamaConfig.attention_bias is
+        # the HF flag when present; Qwen2's architecture implies them and is
+        # detected from the state dict in llama_params_from_hf).
+        qkv_bias=bool(getattr(hf_config, "attention_bias", False)),
+        # Mistral/Qwen2 sliding-window attention. Qwen2 gates it behind
+        # use_sliding_window (default off); Mistral applies it whenever set.
+        sliding_window=(
+            int(hf_config.sliding_window)
+            if getattr(hf_config, "sliding_window", None)
+            and getattr(hf_config, "use_sliding_window", True)
+            else -1
+        ),
     )
 
 
@@ -67,10 +80,19 @@ def llama_params_from_hf(model, dtype=jnp.bfloat16
     def g(name):
         return sd[name]
 
+    has_bias = "model.layers.0.self_attn.q_proj.bias" in sd
+    if has_bias != cfg.qkv_bias:
+        cfg = replace(cfg, qkv_bias=has_bias)
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
+        bias = {
+            "bq": _a(g(p + "self_attn.q_proj.bias")),
+            "bk": _a(g(p + "self_attn.k_proj.bias")),
+            "bv": _a(g(p + "self_attn.v_proj.bias")),
+        } if has_bias else {}
         layers.append({
+            **bias,
             "attn_norm": _a(g(p + "input_layernorm.weight")),
             "wq": _t(g(p + "self_attn.q_proj.weight"), dtype),
             "wk": _t(g(p + "self_attn.k_proj.weight"), dtype),

@@ -69,7 +69,13 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Params:
     layers = []
     for li in range(cfg.n_layers):
         k = jax.random.split(keys[li], 7)
+        bias = {
+            "bq": jnp.zeros((cfg.n_heads * cfg.hd,), jnp.float32),
+            "bk": jnp.zeros((cfg.n_kv_heads * cfg.hd,), jnp.float32),
+            "bv": jnp.zeros((cfg.n_kv_heads * cfg.hd,), jnp.float32),
+        } if cfg.qkv_bias else {}
         layers.append({
+            **bias,
             "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
             "wq": _dense_init(k[0], (cfg.dim, cfg.n_heads * cfg.hd), cfg.dim, cfg.dtype),
             "wk": _dense_init(k[1], (cfg.dim, cfg.n_kv_heads * cfg.hd), cfg.dim, cfg.dtype),
@@ -108,6 +114,22 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _qkv(layer: Params, h: jax.Array, cfg: LlamaConfig):
+    """Pre-RoPE q/k/v projections, applying Qwen2-style additive biases when
+    the layer carries them ("bq"/"bk"/"bv" keys)."""
+    B, S, _ = h.shape
+    q = _mm(h, layer["wq"])
+    k = _mm(h, layer["wk"])
+    v = _mm(h, layer["wv"])
+    if "bq" in layer:
+        q = (q.astype(jnp.float32) + layer["bq"]).astype(q.dtype)
+        k = (k.astype(jnp.float32) + layer["bk"]).astype(k.dtype)
+        v = (v.astype(jnp.float32) + layer["bv"]).astype(v.dtype)
+    return (q.reshape(B, S, cfg.n_heads, cfg.hd),
+            k.reshape(B, S, cfg.n_kv_heads, cfg.hd),
+            v.reshape(B, S, cfg.n_kv_heads, cfg.hd))
+
+
 def _attention_block(
     layer: Params, x: jax.Array, cfg: LlamaConfig,
     cos, sin,
@@ -117,9 +139,7 @@ def _attention_block(
 ):
     B, S, _ = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _mm(h, layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd)
-    k = _mm(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
-    v = _mm(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+    q, k, v = _qkv(layer, h, cfg)
     cs = cos[:, :, None, :]
     sn = sin[:, :, None, :]
     q = apply_rope(q, cs, sn)
@@ -252,9 +272,8 @@ def prefill_forward(
     kvs = []
     for layer in params["layers"]:
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = apply_rope(_mm(h, layer["wq"]).reshape(B, S, cfg.n_heads, cfg.hd), cs, sn)
-        k = apply_rope(_mm(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.hd), cs, sn)
-        v = _mm(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.hd)
+        q, k, v = _qkv(layer, h, cfg)
+        q, k = apply_rope(q, cs, sn), apply_rope(k, cs, sn)
         kvs.append((k, v))
         attn = flash_attn_func(
             q, k, v, attention_mask=mask, causal=True,
@@ -314,11 +333,8 @@ def chunk_prefill_step(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = apply_rope(
-            _mm(h, layer["wq"]).reshape(B, C, cfg.n_heads, cfg.hd), cs, sn)
-        k = apply_rope(
-            _mm(h, layer["wk"]).reshape(B, C, cfg.n_kv_heads, cfg.hd), cs, sn)
-        v = _mm(h, layer["wv"]).reshape(B, C, cfg.n_kv_heads, cfg.hd)
+        q, k, v = _qkv(layer, h, cfg)
+        q, k = apply_rope(q, cs, sn), apply_rope(k, cs, sn)
         cache = write_kv(cache, k, v, cache_len, kv_cfg)
         new_caches.append(cache)
         kc, vc = cache["k"], cache["v"]
@@ -380,9 +396,7 @@ def decode_step(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(h, layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.hd)
-        k = _mm(h, layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
-        v = _mm(h, layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        q, k, v = _qkv(layer, h, cfg)
         q = apply_rope(q, cs, sn)
         k = apply_rope(k, cs, sn)
         cache = write_kv(cache, k, v, lens, kv_cfg)
@@ -478,9 +492,7 @@ def paged_decode_step(
     new_pools = []
     for layer, pool in zip(params["layers"], pools):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(h, layer["wq"]).reshape(B, 1, cfg.n_heads, cfg.hd)
-        k = _mm(h, layer["wk"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
-        v = _mm(h, layer["wv"]).reshape(B, 1, cfg.n_kv_heads, cfg.hd)
+        q, k, v = _qkv(layer, h, cfg)
         q = apply_rope(q, cs, sn)
         k = apply_rope(k, cs, sn)
         pool = write_tokens_paged(pool, tables, k, v, lens, pcfg)

@@ -76,6 +76,11 @@ _TP_TABLE = {
     "wk": P(None, AXIS_MODEL),
     "wv": P(None, AXIS_MODEL),
     "wo": P(AXIS_MODEL, None),
+    # Qwen2-style qkv biases: 1-D [n_heads*hd], sharded over heads like the
+    # matching projection's output dim.
+    "bq": P(AXIS_MODEL),
+    "bk": P(AXIS_MODEL),
+    "bv": P(AXIS_MODEL),
     "w_gate": P(None, AXIS_MODEL),
     "w_up": P(None, AXIS_MODEL),
     "w_down": P(AXIS_MODEL, None),

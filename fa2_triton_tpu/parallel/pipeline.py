@@ -212,9 +212,14 @@ def make_llama_3d_forward(
 
         def body(x, layer):
             h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-            q = apply_rope((h @ layer["wq"]).reshape(mb, S, hq, cfg.hd), cs, sn)
-            k = apply_rope((h @ layer["wk"]).reshape(mb, S, hkv, cfg.hd), cs, sn)
-            v = (h @ layer["wv"]).reshape(mb, S, hkv, cfg.hd)
+            q, k, v = h @ layer["wq"], h @ layer["wk"], h @ layer["wv"]
+            if "bq" in layer:  # Qwen2-style additive qkv biases
+                q = (q.astype(jnp.float32) + layer["bq"]).astype(q.dtype)
+                k = (k.astype(jnp.float32) + layer["bk"]).astype(k.dtype)
+                v = (v.astype(jnp.float32) + layer["bv"]).astype(v.dtype)
+            q = apply_rope(q.reshape(mb, S, hq, cfg.hd), cs, sn)
+            k = apply_rope(k.reshape(mb, S, hkv, cfg.hd), cs, sn)
+            v = v.reshape(mb, S, hkv, cfg.hd)
             attn = flash_attn_func(q, k, v, causal=True, window_size=window)
             x = x + psum_tp(attn.reshape(mb, S, hq * cfg.hd) @ layer["wo"])
             h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)

@@ -70,6 +70,63 @@ def test_tied_embeddings_supported():
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
 
 
+def test_qwen2_logits_parity_vs_transformers():
+    """Qwen2 = Llama architecture + additive q/k/v biases; the converter
+    detects the biases from the state dict and the model applies them
+    (`models/llama.py:_qkv`)."""
+    torch.manual_seed(11)
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    # HF zero-inits linear biases; randomize so the bias path is exercised.
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0.0, 0.5)
+    params, cfg = llama_params_from_hf(model, dtype=jnp.float32)
+    assert cfg.qkv_bias and "bq" in params["layers"][0]
+    assert any(float(np.abs(np.asarray(l["bq"])).max()) > 0
+               for l in params["layers"])
+    ids = np.random.RandomState(4).randint(0, 128, size=(2, 29))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+
+def test_qwen2_greedy_decode_matches_hf():
+    torch.manual_seed(13)
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0.0, 0.5)
+    params, cfg = llama_params_from_hf(model, dtype=jnp.float32)
+    prompt = [3, 17, 88, 54]
+    n_new = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    from fa2_triton_tpu.runtime.speculative import greedy_reference
+
+    ours = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
+    assert ours == hf_out, (ours, hf_out)
+
+
 def test_gpt2_logits_parity_vs_transformers():
     from fa2_triton_tpu.models import gpt2
     from fa2_triton_tpu.models.convert import gpt2_params_from_hf
