@@ -9,11 +9,20 @@ are ever DMA'd.
 
 Page allocation is HOST control logic (free list + per-slot tables, mirrored
 to a device array when they change); token writes are device scatters.
+
+Automatic prefix caching (vLLM-style): full pages are content-addressed by a
+chain hash over their token ids, refcounted, and shared copy-on-nothing —
+shared pages are immutable by construction, because a slot only ever writes
+at positions >= its attached-prefix length. Finished sequences' pages stay
+resident (LRU) until the allocator needs them, so a later request with the
+same prompt prefix skips recomputing those pages' KV entirely.
 """
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from dataclasses import dataclass
-from typing import Any, List, Optional
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,17 +74,36 @@ class PagedKVCache:
         self._tables = np.zeros((cfg.n_slots, cfg.max_pages_per_slot), np.int32)
         self._slot_pages: List[List[int]] = [[] for _ in range(cfg.n_slots)]
         self._tables_dev: Optional[jax.Array] = None
+        # Prefix-cache state: per-page refcounts; chain-hash -> page for full
+        # registered pages; page -> chain-hash (for eviction unregister); and
+        # the LRU set of ref-0 pages whose contents are still valid/reusable.
+        self._refs = np.zeros((cfg.n_pages,), np.int32)
+        self._hash_to_page: Dict[bytes, int] = {}
+        self._page_hash: Dict[int, bytes] = {}
+        self._cached_free: "OrderedDict[int, None]" = OrderedDict()
 
     # ------------------------- host allocation ---------------------------
 
     @property
     def free_pages(self) -> int:
-        return len(self._free)
+        return len(self._free) + len(self._cached_free)
 
     def tables_device(self) -> jax.Array:
         if self._tables_dev is None:
             self._tables_dev = jnp.asarray(self._tables)
         return self._tables_dev
+
+    def _alloc_page(self) -> int:
+        if self._free:
+            return self._free.pop()
+        # Evict the least-recently-used prefix-cached page: its contents are
+        # reusable but nothing references it, so it can be repurposed.
+        if self._cached_free:
+            page, _ = self._cached_free.popitem(last=False)
+            h = self._page_hash.pop(page)
+            del self._hash_to_page[h]
+            return page
+        raise MemoryError("KV page pool exhausted")
 
     def ensure_capacity(self, slot: int, n_tokens: int) -> None:
         """Allocate pages so `slot` can hold n_tokens; raises if pool full."""
@@ -83,19 +111,73 @@ class PagedKVCache:
         assert need <= self.cfg.max_pages_per_slot, (n_tokens, "exceeds max_seq")
         pages = self._slot_pages[slot]
         while len(pages) < need:
-            if not self._free:
-                raise MemoryError("KV page pool exhausted")
-            page = self._free.pop()
+            page = self._alloc_page()
+            self._refs[page] = 1
             self._tables[slot, len(pages)] = page
             pages.append(page)
             self._tables_dev = None
 
     def release(self, slot: int) -> None:
-        """Return the slot's pages to the pool."""
-        self._free.extend(reversed(self._slot_pages[slot]))
+        """Drop the slot's references; unshared unregistered pages return to
+        the free list, registered ones stay resident as prefix-cache LRU."""
+        for page in reversed(self._slot_pages[slot]):
+            self._refs[page] -= 1
+            if self._refs[page] == 0:
+                if page in self._page_hash:
+                    self._cached_free[page] = None
+                    self._cached_free.move_to_end(page)
+                else:
+                    self._free.append(page)
         self._slot_pages[slot] = []
         self._tables[slot] = 0
         self._tables_dev = None
+
+    # ------------------------- prefix caching ----------------------------
+
+    @staticmethod
+    def _chunk_hash(prev: bytes, tokens: Sequence[int]) -> bytes:
+        return hashlib.blake2b(
+            prev + np.asarray(tokens, np.int32).tobytes(), digest_size=16
+        ).digest()
+
+    def match_prefix(self, tokens: Sequence[int]) -> Tuple[int, List[int]]:
+        """Longest registered full-page prefix of `tokens` -> (n_tokens,
+        pages). Capped at len(tokens)-1 so at least one token remains to
+        prefill (logits for the first generated token must be computed)."""
+        P = self.cfg.page_size
+        pages: List[int] = []
+        h = b""
+        for i in range((len(tokens) - 1) // P):
+            h = self._chunk_hash(h, tokens[i * P:(i + 1) * P])
+            page = self._hash_to_page.get(h)
+            if page is None:
+                break
+            pages.append(page)
+        return len(pages) * P, pages
+
+    def attach(self, slot: int, pages: Sequence[int]) -> None:
+        """Point an EMPTY slot's table at shared prefix pages (refcounted).
+        The slot must only write at positions >= len(pages)*page_size, which
+        the engine guarantees: its suffix prefill starts exactly there."""
+        assert not self._slot_pages[slot], "attach requires an empty slot"
+        for i, page in enumerate(pages):
+            self._tables[slot, i] = page
+            self._refs[page] += 1
+            self._cached_free.pop(page, None)  # referenced again: not evictable
+        self._slot_pages[slot] = list(pages)
+        self._tables_dev = None
+
+    def register_prefix(self, slot: int, tokens: Sequence[int]) -> None:
+        """After `slot` holds valid KV for `tokens[0:len(tokens))`, publish
+        its full pages into the prefix cache (first writer wins per hash)."""
+        P = self.cfg.page_size
+        h = b""
+        for i in range(len(tokens) // P):
+            h = self._chunk_hash(h, tokens[i * P:(i + 1) * P])
+            page = self._slot_pages[slot][i]
+            if h not in self._hash_to_page and page not in self._page_hash:
+                self._hash_to_page[h] = page
+                self._page_hash[page] = h
 
     # ------------------------- device writes -----------------------------
 

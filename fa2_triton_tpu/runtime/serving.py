@@ -53,6 +53,8 @@ class EngineStats:
     prefill_tokens: int = 0
     decode_tokens: int = 0
     decode_steps: int = 0
+    # Prompt tokens whose KV came from the prefix cache (never recomputed).
+    prefix_cached_tokens: int = 0
     wall_s: float = 0.0
 
     @property
@@ -73,11 +75,19 @@ class Engine:
         n_pages: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         prefill_chunk: Optional[int] = None,
+        prefix_cache: bool = False,
+        page_size: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
         self.eos_id = eos_id
         self.paged = paged
+        # Automatic prefix caching (paged mode): finished sequences' full
+        # pages stay resident, content-addressed by token chain hash; a new
+        # request whose prompt shares a full-page prefix attaches those pages
+        # and prefills only the suffix (`runtime/paged_cache.py`).
+        assert not prefix_cache or paged, "prefix_cache requires paged=True"
+        self.prefix_cache = prefix_cache
         # Chunked prefill: prompts longer than `prefill_chunk` are admitted
         # immediately but prefilled ONE bounded chunk per engine step,
         # interleaved with decode — long prompts no longer stall active
@@ -121,7 +131,8 @@ class Engine:
             )
             from fa2_triton_tpu.utils import round_up_to_multiple
 
-            page = min(512, round_up_to_multiple(max_seq, 128))
+            page = page_size or min(512, round_up_to_multiple(max_seq, 128))
+            assert page % 128 == 0, "page_size must be lane-aligned"
             max_seq_p = round_up_to_multiple(max_seq, page)
             pcfg = PagedCacheConfig(
                 n_layers=cfg.n_layers, n_kv_heads=cfg.n_kv_heads,
@@ -285,6 +296,83 @@ class Engine:
             self._prefill_cache[s_pad] = jax.jit(fn, donate_argnums=(3,))
         return self._prefill_cache[s_pad]
 
+    def _get_suffix_prefill(self, c_pad: int, n_ctx_pages: int):
+        """Jitted prompt-SUFFIX prefill for a slot whose leading pages came
+        from the prefix cache: gather the slot's first `n_ctx_pages` pages
+        into a contiguous single-slot view, run `chunk_prefill_step` (the
+        suffix's queries attend to cached prefix + suffix via the forward
+        kernel's global q_offset), and scatter the written pages back into
+        the shared pool. Keyed by (suffix width, page count) so every shape
+        compiles once."""
+        key = ("suffix", c_pad, n_ctx_pages)
+        if key not in self._prefill_cache:
+            from fa2_triton_tpu.models.llama import chunk_prefill_step
+
+            page = self.kv_cfg.page_size
+            S_view = n_ctx_pages * page
+            Hkv = self.kv_cfg_local.n_kv_heads
+            Dp = self.kv_cfg.head_dim_padded
+            shim = KVCacheConfig(
+                n_layers=self.cfg.n_layers, n_kv_heads=Hkv,
+                head_dim=self.kv_cfg.head_dim, max_seq=S_view, n_slots=1,
+                qdtype=self.kv_cfg.qdtype,
+                compute_dtype=self.kv_cfg.compute_dtype,
+                block_kv=min(4096, S_view),
+            )
+
+            def _gather(pool, trow):
+                view = {}
+                for name in ("k", "v"):
+                    g = pool[name][trow]               # [n, Hkv, page, Dp]
+                    view[name] = jnp.transpose(g, (1, 0, 2, 3)).reshape(
+                        1, Hkv, S_view, Dp)
+                for name in ("k_scale", "v_scale"):
+                    if name in pool:
+                        g = pool[name][trow]           # [n, Hkv, 1, page]
+                        view[name] = jnp.transpose(g, (1, 2, 0, 3)).reshape(
+                            1, Hkv, 1, S_view)
+                return view
+
+            def _scatter(pool, view, trow):
+                out = dict(pool)
+                for name in ("k", "v"):
+                    u = view[name].reshape(Hkv, n_ctx_pages, page, Dp)
+                    out[name] = pool[name].at[trow].set(
+                        jnp.transpose(u, (1, 0, 2, 3)))
+                for name in ("k_scale", "v_scale"):
+                    if name in pool:
+                        u = view[name].reshape(Hkv, 1, n_ctx_pages, page)
+                        out[name] = pool[name].at[trow].set(
+                            jnp.transpose(u, (2, 0, 1, 3)))
+                return out
+
+            def _suffix(params, tokens, chunk_len, cache_len, pools, tables,
+                        slot, samp):
+                trow = jax.lax.dynamic_slice_in_dim(
+                    tables, slot, 1, 0)[0, :n_ctx_pages]
+                views = [_gather(pool, trow) for pool in pools]
+                logits, new_views = chunk_prefill_step(
+                    params, tokens, chunk_len, cache_len, self.cfg_local,
+                    views, shim, psum_axis=self._psum_axis,
+                )
+                new_pools = [_scatter(pool, view, trow)
+                             for pool, view in zip(pools, new_views)]
+                tok, lp = sample_tokens_with_logprobs(logits[0][None], *samp)
+                return (tok[0], lp[0]), new_pools
+
+            fn = _suffix
+            if self.tp > 1:
+                cspec = jax.tree.map(
+                    lambda _: self._cache_spec_leaf, self.pcache.pools)
+                fn = jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(self._pspecs, P(), P(), P(), cspec, P(), P(),
+                              (P(),) * 5),
+                    out_specs=((P(), P()), cspec), check_vma=False,
+                )
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(4,))
+        return self._prefill_cache[key]
+
     def _get_chunk_prefill(self):
         """Jitted one-chunk prefill (fixed chunk width -> one compile)."""
         if "chunk" not in self._prefill_cache:
@@ -416,22 +504,59 @@ class Engine:
             tokens[0, : len(req.prompt)] = req.prompt
             true_len = jnp.asarray([len(req.prompt)], jnp.int32)
             if self.paged:
-                try:
-                    self.pcache.ensure_capacity(slot, s_pad)
-                except MemoryError:
-                    self.queue.insert(0, req)  # retry when pages free up
-                    return
-                (next_tok, next_lp), self.pcache.pools = self._get_prefill(s_pad)(
-                    self.params, jnp.asarray(tokens), true_len,
-                    self.pcache.pools, self.pcache.tables_device(), slot,
-                    self._samp1(req),
+                n_cached, shared = (
+                    self.pcache.match_prefix(req.prompt)
+                    if self.prefix_cache else (0, [])
                 )
+                if n_cached:
+                    # Prefix hit: attach the shared pages, prefill only the
+                    # suffix (its queries attend over the cached prefix).
+                    suffix = req.prompt[n_cached:]
+                    c_pad = max(128, next_power_of_2(len(suffix)))
+                    page = self.kv_cfg.page_size
+                    if n_cached + c_pad > self._max_seq_padded:
+                        c_pad = -(-len(suffix) // 128) * 128
+                    n_ctx_pages = -(-(n_cached + c_pad) // page)
+                    self.pcache.attach(slot, shared)
+                    try:
+                        self.pcache.ensure_capacity(slot, n_ctx_pages * page)
+                    except MemoryError:
+                        self.pcache.release(slot)
+                        self.queue.insert(0, req)
+                        return
+                    stoks = np.zeros((1, c_pad), np.int32)
+                    stoks[0, : len(suffix)] = suffix
+                    (next_tok, next_lp), self.pcache.pools = \
+                        self._get_suffix_prefill(c_pad, n_ctx_pages)(
+                            self.params, jnp.asarray(stoks),
+                            jnp.asarray([len(suffix)], jnp.int32),
+                            jnp.asarray([n_cached], jnp.int32),
+                            self.pcache.pools, self.pcache.tables_device(),
+                            slot, self._samp1(req),
+                        )
+                    self.stats.prefix_cached_tokens += n_cached
+                    self.stats.prefill_tokens += len(suffix)
+                else:
+                    try:
+                        self.pcache.ensure_capacity(slot, s_pad)
+                    except MemoryError:
+                        self.queue.insert(0, req)  # retry when pages free up
+                        return
+                    (next_tok, next_lp), self.pcache.pools = \
+                        self._get_prefill(s_pad)(
+                            self.params, jnp.asarray(tokens), true_len,
+                            self.pcache.pools, self.pcache.tables_device(),
+                            slot, self._samp1(req),
+                        )
+                    self.stats.prefill_tokens += len(req.prompt)
+                if self.prefix_cache:
+                    self.pcache.register_prefix(slot, req.prompt)
             else:
                 (next_tok, next_lp), self.caches = self._get_prefill(s_pad)(
                     self.params, jnp.asarray(tokens), true_len, self.caches,
                     slot, self._samp1(req),
                 )
-            self.stats.prefill_tokens += len(req.prompt)
+                self.stats.prefill_tokens += len(req.prompt)
             self.lens_np[slot] = len(req.prompt)
             self.last_tokens = self.last_tokens.at[slot].set(next_tok)
             req.out_tokens.append(int(next_tok))

@@ -1,0 +1,157 @@
+"""Automatic prefix caching (`runtime/paged_cache.py` + the paged Engine):
+content-addressed full-page sharing with refcounts and LRU eviction, plus
+engine-level suffix prefill that must reproduce the cold-path tokens exactly
+(shared pages hold the SAME KV the full prefill would recompute)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fa2_triton_tpu.models import LlamaConfig, init_params
+from fa2_triton_tpu.runtime import Engine
+from fa2_triton_tpu.runtime.paged_cache import PagedCacheConfig, PagedKVCache
+
+CFG = LlamaConfig(
+    vocab_size=128, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+    hidden_dim=128, max_seq_len=512, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+# --------------------------- allocator unit tests --------------------------
+
+def _tiny_pool(n_pages=6, page=128, n_slots=2):
+    return PagedKVCache(PagedCacheConfig(
+        n_layers=1, n_kv_heads=1, head_dim=128, page_size=page,
+        n_pages=n_pages, n_slots=n_slots, max_seq=4 * page,
+    ))
+
+
+def test_match_register_release_cycle():
+    pc = _tiny_pool()
+    P = pc.cfg.page_size
+    prompt = list(range(2 * P + 10))
+    assert pc.match_prefix(prompt) == (0, [])
+
+    pc.ensure_capacity(0, len(prompt))
+    pc.register_prefix(0, prompt)          # registers 2 full pages
+    n, pages = pc.match_prefix(prompt)
+    assert n == 2 * P and len(pages) == 2
+    # Exact-page-multiple prompts keep one token unprefixed (logits needed).
+    assert pc.match_prefix(prompt[: 2 * P]) == (P, pages[:1])
+
+    free_before = pc.free_pages
+    pc.release(0)
+    # Registered pages stay matchable after release (resident, ref 0).
+    assert pc.match_prefix(prompt)[0] == 2 * P
+    assert pc.free_pages == free_before + 3  # all 3 pages reusable
+
+    # Attaching bumps refs so eviction can't take the pages.
+    n, pages = pc.match_prefix(prompt)
+    pc.attach(1, pages)
+    assert pc._refs[pages[0]] == 1
+    pc.release(1)
+
+
+def test_lru_eviction_unregisters():
+    pc = _tiny_pool(n_pages=4)  # 3 usable pages
+    P = pc.cfg.page_size
+    prompt_a = [1] * (P + 1)
+    pc.ensure_capacity(0, len(prompt_a))    # 2 pages
+    pc.register_prefix(0, prompt_a)
+    pc.release(0)
+    assert pc.match_prefix(prompt_a)[0] == P
+
+    # Claiming all 3 pages must evict A's cached page (LRU).
+    pc.ensure_capacity(1, 3 * P)
+    assert pc.match_prefix(prompt_a)[0] == 0
+    with pytest.raises(MemoryError):
+        pc.ensure_capacity(0, P)
+    pc.release(1)
+
+
+def test_shared_page_refcounted_not_evictable():
+    pc = _tiny_pool(n_pages=4)
+    P = pc.cfg.page_size
+    prompt = [7] * (P + 1)
+    pc.ensure_capacity(0, len(prompt))
+    pc.register_prefix(0, prompt)
+    n, pages = pc.match_prefix(prompt)
+    pc.attach(1, pages)                      # slot 1 shares slot 0's page
+    assert pc._refs[pages[0]] == 2
+    pc.release(0)
+    assert pc._refs[pages[0]] == 1           # still live via slot 1
+    # Pool pressure: only the truly-free page remains; the shared page must
+    # survive allocation pressure.
+    pc.ensure_capacity(1, 2 * P)
+    assert pc._tables[1, 0] == pages[0]
+    pc.release(1)
+    assert pc.free_pages == 3
+
+
+# --------------------------- engine end-to-end -----------------------------
+
+def _run(params, prompts, n_new, **kw):
+    eng = Engine(params, CFG, n_slots=2, max_seq=512, paged=True,
+                 page_size=128, **kw)
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng.run()
+    assert all(r.done for r in reqs)
+    return eng, [r.out_tokens for r in reqs]
+
+
+def test_prefix_cache_exact_repeat_prompt(params):
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(0, CFG.vocab_size, size=200).tolist()
+
+    _, cold = _run(params, [prompt], 4)
+    eng, outs = _run(params, [prompt, prompt], 4, prefix_cache=True)
+    # Both requests decode identical greedy tokens, and the second skipped
+    # recomputing one full page (128 tokens) of prompt KV.
+    assert outs[0] == cold[0] and outs[1] == cold[0]
+    assert eng.stats.prefix_cached_tokens == 128
+    assert eng.stats.prefill_tokens == 200 + (200 - 128)
+
+
+def test_prefix_cache_shared_prefix_different_tail(params):
+    rng = np.random.RandomState(4)
+    head = rng.randint(0, CFG.vocab_size, size=256).tolist()
+    a = head + rng.randint(0, CFG.vocab_size, size=30).tolist()
+    b = head + rng.randint(0, CFG.vocab_size, size=50).tolist()
+
+    _, cold = _run(params, [a, b], 4)
+    eng, warm = _run(params, [a, b], 4, prefix_cache=True)
+    assert warm == cold
+    # b matched a's two full head pages (the engine admits a first).
+    assert eng.stats.prefix_cached_tokens == 256
+
+
+def test_prefix_cache_survives_completion_and_slot_reuse(params):
+    """Pages registered by a FINISHED request (slot released) still serve
+    later requests — residency outlives the slot."""
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, CFG.vocab_size, size=140).tolist()
+    eng = Engine(params, CFG, n_slots=1, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True)
+    r1 = eng.submit(prompt, max_new_tokens=3)
+    eng.run()
+    r2 = eng.submit(prompt, max_new_tokens=3)
+    eng.run()
+    assert r1.out_tokens == r2.out_tokens
+    assert eng.stats.prefix_cached_tokens == 128
+
+
+def test_prefix_cache_quantized_pool(params):
+    """Prefix sharing composes with int8 KV storage (pages carry quantized
+    values + scales; the suffix path dequantizes the gathered view)."""
+    rng = np.random.RandomState(6)
+    prompt = rng.randint(0, CFG.vocab_size, size=150).tolist()
+    _, cold = _run(params, [prompt, prompt], 4, qdtype=jnp.int8)
+    eng, warm = _run(params, [prompt, prompt], 4, qdtype=jnp.int8,
+                     prefix_cache=True)
+    assert warm == cold
+    assert eng.stats.prefix_cached_tokens == 128
