@@ -42,6 +42,10 @@ class Request:
     # temperature/truncation-independent), parallel to out_tokens.
     out_logprobs: List[float] = field(default_factory=list)
     done: bool = False
+    # Count of out_tokens already folded into `prompt` by preemption
+    # (`Engine._preempt`): keeps end-of-request prefix registration from
+    # double-counting the pre-preemption generation.
+    folded: int = 0
     # Per-request sampling (temperature/top-k/top-p/seed); GREEDY default.
     # Deterministic by construction: token i comes from fold_in(seed, i)
     # (`runtime/sampling.py`), so retries and preemption-resumes reproduce.
@@ -576,6 +580,14 @@ class Engine:
             req.done = True
             self.slot_req[slot] = None
             if self.paged:
+                if self.prefix_cache:
+                    # Publish the GENERATED tokens' full pages too, so a
+                    # follow-up turn (prompt2 = prompt + generation + more)
+                    # reuses them. The last sampled token was never fed back,
+                    # so its KV was never written — exclude it.
+                    new = req.out_tokens[req.folded:]
+                    seq = list(req.prompt) + new[:-1]
+                    self.pcache.register_prefix(slot, seq)
                 # Finished sequences return their pages to the shared pool.
                 self.pcache.release(slot)
 
@@ -584,7 +596,8 @@ class Engine:
         return to the pool, and it re-enters the queue with generated tokens
         folded into the prompt, so it later resumes exactly where it was."""
         req = self.slot_req[slot]
-        req.prompt = list(req.prompt) + [int(t) for t in req.out_tokens]
+        req.prompt = list(req.prompt) + [int(t) for t in req.out_tokens[req.folded:]]
+        req.folded = len(req.out_tokens)
         # out_tokens are kept: 'exhausted' accounting and the user-visible
         # generation stay correct; the re-prefill continues from the last
         # generated token.

@@ -145,6 +145,30 @@ def test_prefix_cache_survives_completion_and_slot_reuse(params):
     assert eng.stats.prefix_cached_tokens == 128
 
 
+def test_prefix_cache_multiturn_generated_tokens_reused(params):
+    """Finished requests register their GENERATED tokens' full pages too, so
+    a follow-up turn whose prompt embeds the previous answer hits the cache
+    across the prompt/generation boundary."""
+    rng = np.random.RandomState(7)
+    p1 = rng.randint(0, CFG.vocab_size, size=100).tolist()
+    eng = Engine(params, CFG, n_slots=1, max_seq=512, paged=True,
+                 page_size=128, prefix_cache=True)
+    r1 = eng.submit(p1, max_new_tokens=40)
+    eng.run()
+    # Turn 2: previous turn's full transcript + new user tokens.
+    p2 = p1 + r1.out_tokens + rng.randint(0, CFG.vocab_size, size=20).tolist()
+    r2 = eng.submit(p2, max_new_tokens=4)
+    eng.run()
+    # 100 prompt + 39 fed generated tokens = 139 valid KV -> one full page.
+    assert eng.stats.prefix_cached_tokens == 128
+    # Cold engine on p2 must produce identical tokens.
+    eng2 = Engine(params, CFG, n_slots=1, max_seq=512, paged=True,
+                  page_size=128)
+    r2c = eng2.submit(p2, max_new_tokens=4)
+    eng2.run()
+    assert r2.out_tokens == r2c.out_tokens
+
+
 def test_prefix_cache_quantized_pool(params):
     """Prefix sharing composes with int8 KV storage (pages carry quantized
     values + scales; the suffix path dequantizes the gathered view)."""
