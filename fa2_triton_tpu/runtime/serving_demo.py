@@ -40,6 +40,16 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=128)
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (model-axis mesh)")
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV cache (shared page pool)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prefix caching (implies --paged)")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="give every request a common prompt prefix of this "
+                         "many tokens (prefix-cache workload)")
+    ap.add_argument("--page-size", type=int, default=None,
+                    help="KV page size (paged mode); only full pages are "
+                         "prefix-shareable, so keep <= --shared-prefix")
     args = ap.parse_args()
 
     qdtype = {None: None, "int8": jnp.int8, "fp8": jnp.float8_e4m3fn}[args.qdtype]
@@ -58,12 +68,17 @@ def main():
 
         mesh = make_mesh(model=args.tp, devices=jax.devices()[: args.tp])
     eng = Engine(params, cfg, n_slots=args.slots, max_seq=args.max_seq,
-                 qdtype=qdtype, mesh=mesh)
+                 qdtype=qdtype, mesh=mesh,
+                 paged=args.paged or args.prefix_cache,
+                 prefix_cache=args.prefix_cache,
+                 page_size=args.page_size or
+                 (128 if args.prefix_cache else None))
 
     rng = np.random.RandomState(0)
+    shared = rng.randint(0, cfg.vocab_size, size=args.shared_prefix).tolist()
     for _ in range(args.requests):
         plen = rng.randint(args.prompt_len // 2, args.prompt_len + 1)
-        eng.submit(rng.randint(0, cfg.vocab_size, size=plen).tolist(),
+        eng.submit(shared + rng.randint(0, cfg.vocab_size, size=plen).tolist(),
                    max_new_tokens=args.new_tokens)
 
     # Warm the jit caches (every prefill bucket + the decode step) on
@@ -84,7 +99,9 @@ def main():
 
     stats = eng.run()
     print(
-        f"prefill {stats.prefill_tokens} tok, decode {stats.decode_tokens} tok "
+        f"prefill {stats.prefill_tokens} tok "
+        f"(+{stats.prefix_cached_tokens} from prefix cache), "
+        f"decode {stats.decode_tokens} tok "
         f"in {stats.wall_s:.2f}s over {stats.decode_steps} steps",
         file=sys.stderr,
     )
