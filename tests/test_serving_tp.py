@@ -75,3 +75,24 @@ def test_dp_tp_engine_matches_single_device(params):
     assert [r.out_tokens for r in reqs] == _generate(params, None)
     # Work actually spread over both replicas.
     assert all(e.stats.decode_tokens > 0 for e in dp.engines)
+
+
+def test_tp_engine_prefix_cache(params, mesh):
+    """The suffix-prefill path (page gather -> chunk prefill -> scatter) runs
+    under shard_map with head-sharded pools; a repeated prompt must decode
+    identical tokens to the cold TP engine AND hit the cache."""
+    import numpy as np
+
+    prompt = np.random.RandomState(9).randint(0, 256, size=150).tolist()
+
+    def run(mesh_, prefix_cache):
+        eng = Engine(params, CFG, n_slots=2, max_seq=256, mesh=mesh_,
+                     paged=True, page_size=128, prefix_cache=prefix_cache)
+        reqs = [eng.submit(prompt, 6), eng.submit(prompt, 6)]
+        eng.run()
+        return [r.out_tokens for r in reqs], eng.stats.prefix_cached_tokens
+
+    cold, _ = run(None, False)
+    warm_tp, hits = run(mesh, True)
+    assert warm_tp == cold
+    assert hits == 128
