@@ -117,6 +117,69 @@ def llama_params_from_hf(model, dtype=jnp.bfloat16
     return params, cfg
 
 
+def gemma_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+    """Convert a `transformers.GemmaForCausalLM` to the LLaMA-family pytree.
+
+    Gemma's three departures from Llama are ABSORBED at conversion so every
+    forward path stays unchanged except the MLP activation:
+    - RMSNorm computes x_norm * (1 + w)  ->  store w + 1;
+    - activations are scaled sqrt(dim) at the embedding (but the TIED
+      lm_head projects unscaled)  ->  scale params["embed"] only;
+    - GeGLU MLP  ->  cfg.hidden_act = "gelu_tanh".
+    head_dim is explicit (Gemma-2B uses 256 with dim 2048).
+    """
+    hc = model.config
+    cfg = LlamaConfig(
+        vocab_size=hc.vocab_size,
+        dim=hc.hidden_size,
+        n_layers=hc.num_hidden_layers,
+        n_heads=hc.num_attention_heads,
+        n_kv_heads=hc.num_key_value_heads,
+        hidden_dim=hc.intermediate_size,
+        head_dim=hc.head_dim,
+        rope_theta=float(getattr(hc, "rope_theta", 10000.0)),
+        norm_eps=float(hc.rms_norm_eps),
+        max_seq_len=hc.max_position_embeddings,
+        dtype=dtype,
+        hidden_act="gelu_tanh",
+        logit_softcap=float(getattr(hc, "final_logit_softcapping", 0.0)
+                            or 0.0),
+    )
+    sd = {k: v.detach().cpu() for k, v in model.state_dict().items()}
+    g = sd.__getitem__
+
+    def norm_plus1(name):
+        return _a(g(name)) + 1.0
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "attn_norm": norm_plus1(p + "input_layernorm.weight"),
+            "wq": _t(g(p + "self_attn.q_proj.weight"), dtype),
+            "wk": _t(g(p + "self_attn.k_proj.weight"), dtype),
+            "wv": _t(g(p + "self_attn.v_proj.weight"), dtype),
+            "wo": _t(g(p + "self_attn.o_proj.weight"), dtype),
+            "mlp_norm": norm_plus1(p + "post_attention_layernorm.weight"),
+            "w_gate": _t(g(p + "mlp.gate_proj.weight"), dtype),
+            "w_up": _t(g(p + "mlp.up_proj.weight"), dtype),
+            "w_down": _t(g(p + "mlp.down_proj.weight"), dtype),
+        })
+    raw_embed = np.asarray(g("model.embed_tokens.weight"), np.float32)
+    if "lm_head.weight" in sd:
+        lm_head = _t(g("lm_head.weight"), dtype)
+    else:  # tied: project with the UNSCALED embedding
+        lm_head = jnp.asarray(raw_embed.T).astype(dtype)
+    params = {
+        "embed": jnp.asarray(
+            raw_embed * np.sqrt(np.float32(cfg.dim))).astype(dtype),
+        "layers": layers,
+        "final_norm": norm_plus1("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+    return params, cfg
+
+
 def gpt2_params_from_hf(model, dtype=jnp.float32):
     """Convert a `transformers.GPT2LMHeadModel` to `models/gpt2.py`'s pytree.
 

@@ -45,6 +45,14 @@ class LlamaConfig:
     # "bq"/"bk"/"bv"; HF-converted checkpoints carry them regardless of this
     # flag — it only controls from-scratch init).
     qkv_bias: bool = False
+    # Gemma-style knobs: MLP activation ("silu" SwiGLU, or "gelu_tanh"
+    # GeGLU), final-logit tanh softcapping (0 = off; the ATTENTION softcap is
+    # a kernel feature, `flash_attn_func(softcap=...)`), and an activation
+    # scale on the token embeddings (Gemma multiplies by sqrt(dim) WITHOUT
+    # scaling the tied lm_head; conversion absorbs it into params["embed"],
+    # so no config field is needed for it).
+    hidden_act: str = "silu"
+    logit_softcap: float = 0.0
     # Gradient checkpointing: rematerialize each transformer layer in the
     # backward pass instead of saving its activations — the HBM-for-FLOPs
     # trade that lets long-sequence training fit (the flash kernels already
@@ -179,8 +187,18 @@ def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig,
 
         return moe_mlp_dense(layer, x, cfg)[0]
     h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    gated = jax.nn.silu(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
+    act = (jax.nn.silu if cfg.hidden_act == "silu"
+           else partial(jax.nn.gelu, approximate=True))
+    gated = act(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
     return x + _psum(_mm(gated, layer["w_down"]), psum_axis)
+
+
+def _logits(x: jax.Array, params: Params, cfg: LlamaConfig) -> jax.Array:
+    """LM-head projection (+ Gemma-style final tanh softcap), fp32 out."""
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.logit_softcap > 0.0:
+        logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+    return logits
 
 
 def default_attention(q, k, v, _kv_len):
@@ -224,7 +242,7 @@ def forward(
     for layer in params["layers"]:
         x = block(layer, x)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x, params["lm_head"]).astype(jnp.float32)
+    return _logits(x, params, cfg)
 
 
 def loss_fn(params: Params, tokens: jax.Array, cfg: LlamaConfig,
@@ -286,7 +304,7 @@ def prefill_forward(
         )
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x, params["lm_head"]).astype(jnp.float32), kvs
+    return _logits(x, params, cfg), kvs
 
 
 def chunk_prefill_step(
@@ -369,7 +387,7 @@ def chunk_prefill_step(
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     last = jax.lax.dynamic_slice_in_dim(x, chunk_len[0] - 1, 1, axis=1)[:, 0]
-    return _mm(last, params["lm_head"]).astype(jnp.float32), new_caches
+    return _logits(last, params, cfg), new_caches
 
 
 def decode_step(
@@ -418,7 +436,7 @@ def decode_step(
         )
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x[:, 0], params["lm_head"]).astype(jnp.float32), new_caches
+    return _logits(x[:, 0], params, cfg), new_caches
 
 
 def forward_with_cache(
@@ -444,7 +462,7 @@ def forward_with_cache(
         new_caches.append(new_cache)
         x = _mlp_block(layer, x, cfg)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32), new_caches
+    return _logits(x, params, cfg), new_caches
 
 
 QUANTIZABLE_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head")
@@ -512,4 +530,4 @@ def paged_decode_step(
         )
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x[:, 0], params["lm_head"]).astype(jnp.float32), new_pools
+    return _logits(x[:, 0], params, cfg), new_pools

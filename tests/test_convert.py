@@ -127,6 +127,74 @@ def test_qwen2_greedy_decode_matches_hf():
     assert ours == hf_out, (ours, hf_out)
 
 
+def test_gemma_logits_parity_vs_transformers():
+    """Gemma = Llama + (1+w) RMSNorm + sqrt(dim)-scaled embeddings + GeGLU +
+    explicit head_dim + tied unscaled lm_head; the first three are absorbed
+    at conversion (`models/convert.py:gemma_params_from_hf`)."""
+    from fa2_triton_tpu.models.convert import gemma_params_from_hf
+
+    torch.manual_seed(17)
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32,  # != hidden_size // num_heads: exercises explicit hd
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        hidden_activation="gelu_pytorch_tanh", tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    params, cfg = gemma_params_from_hf(model, dtype=jnp.float32)
+    assert cfg.hidden_act == "gelu_tanh" and cfg.hd == 32
+    ids = np.random.RandomState(8).randint(0, 128, size=(2, 27))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+
+def test_gemma_greedy_decode_matches_hf():
+    from fa2_triton_tpu.models.convert import gemma_params_from_hf
+
+    torch.manual_seed(19)
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        hidden_activation="gelu_pytorch_tanh", tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    params, cfg = gemma_params_from_hf(model, dtype=jnp.float32)
+    prompt = [9, 33, 71, 2]
+    n_new = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    from fa2_triton_tpu.runtime.speculative import greedy_reference
+
+    ours = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
+    assert ours == hf_out, (ours, hf_out)
+
+
+def test_logit_softcap_applied():
+    """cfg.logit_softcap caps every forward path's logits (Gemma2-style)."""
+    from fa2_triton_tpu.models import LlamaConfig as LC, init_params
+    from dataclasses import replace as rep
+
+    cfg = LC(vocab_size=64, dim=32, n_layers=1, n_heads=2, n_kv_heads=2,
+             hidden_dim=48, max_seq_len=64, dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray([[1, 5, 9]], jnp.int32)
+    raw = forward(params, ids, cfg)
+    cap = 0.5 * float(jnp.max(jnp.abs(raw)))
+    capped = forward(params, ids, rep(cfg, logit_softcap=cap))
+    assert float(jnp.max(jnp.abs(capped))) <= cap + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(capped), cap * np.tanh(np.asarray(raw) / cap), rtol=1e-6)
+
+
 def test_gpt2_logits_parity_vs_transformers():
     from fa2_triton_tpu.models import gpt2
     from fa2_triton_tpu.models.convert import gpt2_params_from_hf
