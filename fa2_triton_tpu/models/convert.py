@@ -37,6 +37,24 @@ def _a(x, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(np.asarray(x, np.float32)).astype(dtype)
 
 
+def _rope_factors_from_hf(hf_config):
+    """HF `rope_scaling` dict -> LlamaConfig.rope_factors tuple (Llama-3.x
+    NTK-by-parts). None passes through; anything else unsupported raises
+    LOUDLY — silently ignoring scaling would load long-context checkpoints
+    with wrong positional geometry."""
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs is None:
+        return None
+    kind = rs.get("rope_type", rs.get("type"))
+    if kind == "default":
+        return None
+    if kind != "llama3":
+        raise NotImplementedError(f"unsupported rope_scaling type: {kind!r}")
+    return (float(rs["factor"]), float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            float(rs["original_max_position_embeddings"]))
+
+
 def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
@@ -49,6 +67,7 @@ def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
         head_dim=getattr(hf_config, "head_dim", None)
         or hf_config.hidden_size // hf_config.num_attention_heads,
         rope_theta=float(getattr(hf_config, "rope_theta", 10000.0)),
+        rope_factors=_rope_factors_from_hf(hf_config),
         norm_eps=float(hf_config.rms_norm_eps),
         max_seq_len=hf_config.max_position_embeddings,
         dtype=dtype,

@@ -53,6 +53,11 @@ class LlamaConfig:
     # so no config field is needed for it).
     hidden_act: str = "silu"
     logit_softcap: float = 0.0
+    # Llama-3.x RoPE frequency scaling: (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings), applied to
+    # inv_freq exactly as HF's `_compute_llama3_parameters`. None = vanilla
+    # RoPE. A tuple (not the HF dict) keeps the frozen config hashable.
+    rope_factors: Optional[Tuple[float, float, float, float]] = None
     # Gradient checkpointing: rematerialize each transformer layer in the
     # backward pass instead of saving its activations — the HBM-for-FLOPs
     # trade that lets long-sequence training fit (the flash kernels already
@@ -108,9 +113,27 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * rms * weight).astype(x.dtype)
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """positions [.., S] int32 -> cos/sin [.., S, head_dim/2] fp32."""
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 factors: Optional[Tuple[float, float, float, float]] = None):
+    """positions [.., S] int32 -> cos/sin [.., S, head_dim/2] fp32.
+
+    `factors` enables Llama-3.x RoPE scaling (NTK-by-parts): long-wavelength
+    frequencies are divided by `factor`, short ones kept, and the band
+    between `low/high_freq_factor` (in units of the ORIGINAL context length)
+    interpolated — matching HF `_compute_llama3_parameters` bit-for-bit in
+    fp32 so converted Llama-3.1+ checkpoints reproduce transformers logits.
+    """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if factors is not None:
+        factor, low_f, high_f, orig_max = factors
+        wavelen = 2.0 * math.pi / inv_freq
+        low_wl = orig_max / low_f       # wavelens beyond this: fully scaled
+        high_wl = orig_max / high_f     # wavelens under this: unscaled
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > low_wl, inv_freq / factor,
+            jnp.where(wavelen < high_wl, inv_freq, smoothed))
     angles = positions.astype(jnp.float32)[..., None] * inv_freq
     return jnp.cos(angles), jnp.sin(angles)
 
@@ -231,7 +254,7 @@ def forward(
     x = params["embed"][tokens]
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
 
     def block(layer, x):
         x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
@@ -284,7 +307,7 @@ def prefill_forward(
     B, S = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     mask = positions < true_len[:, None]
     kvs = []
@@ -334,7 +357,7 @@ def chunk_prefill_step(
     x = params["embed"][tokens]
     cl = cache_len[0]
     positions = cl + jnp.arange(C, dtype=jnp.int32)[None, :]
-    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     total = cl + chunk_len[0]
     S_max = caches[0]["k"].shape[2]
@@ -408,7 +431,7 @@ def decode_step(
 
     B = tokens.shape[0]
     x = params["embed"][tokens][:, None, :]       # [B, 1, dim]
-    cos, sin = rope_cos_sin(lens[:, None], cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(lens[:, None], cfg.hd, cfg.rope_theta, cfg.rope_factors)
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     Dp = kv_cfg.head_dim_padded
     new_caches = []
@@ -452,7 +475,7 @@ def forward_with_cache(
     x = params["embed"][tokens]
     positions = cache_len + jnp.arange(S, dtype=jnp.int32)
     positions = jnp.broadcast_to(positions, (B, S))
-    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         x, new_cache = _attention_block(
@@ -504,7 +527,7 @@ def paged_decode_step(
 
     B = tokens.shape[0]
     x = params["embed"][tokens][:, None, :]
-    cos, sin = rope_cos_sin(lens[:, None], cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(lens[:, None], cfg.hd, cfg.rope_theta, cfg.rope_factors)
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     Dp = pcfg.head_dim_padded
     new_pools = []

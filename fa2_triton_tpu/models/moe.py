@@ -242,7 +242,7 @@ def forward(
     B, S = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
     def block(layer, x):
         x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
         return mlp_fn(layer, x, cfg)

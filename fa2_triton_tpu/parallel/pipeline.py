@@ -122,7 +122,7 @@ def make_llama_pipeline_forward(
     def stage_fn(local_layers: Params, x: jax.Array) -> jax.Array:
         mb, S, _ = x.shape
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (mb, S))
-        cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+        cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
 
         def body(x, layer):
             x, _ = _attention_block(layer, x, cfg, cos, sin, attn_fn)
@@ -204,7 +204,7 @@ def make_llama_3d_forward(
     def stage_fn(local_layers: Params, x: jax.Array) -> jax.Array:
         mb, S, _ = x.shape
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (mb, S))
-        cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+        cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
         cs, sn = cos[:, :, None, :], sin[:, :, None, :]
 
         def psum_tp(v):

@@ -70,6 +70,39 @@ def test_tied_embeddings_supported():
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
 
 
+def test_llama3_rope_scaling_parity_vs_transformers():
+    """Llama-3.1-style rope_scaling (NTK-by-parts) must reproduce the HF
+    forward; ignoring it would silently corrupt long-context checkpoints."""
+    torch.manual_seed(23)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    params, cfg = llama_params_from_hf(model, dtype=jnp.float32)
+    assert cfg.rope_factors == (8.0, 1.0, 4.0, 64.0)
+    # Sequence LONGER than the original context: the scaled frequencies are
+    # actually load-bearing here, not just a pass-through.
+    ids = np.random.RandomState(12).randint(0, 128, size=(2, 100))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+    # Unsupported scaling types must raise, not silently mis-load.
+    from dataclasses import replace as _rep  # noqa: F401
+    bad = transformers.LlamaConfig(rope_scaling={"rope_type": "yarn",
+                                                 "factor": 4.0})
+    from fa2_triton_tpu.models.convert import _rope_factors_from_hf
+    with pytest.raises(NotImplementedError):
+        _rope_factors_from_hf(bad)
+
+
 def test_qwen2_logits_parity_vs_transformers():
     """Qwen2 = Llama architecture + additive q/k/v biases; the converter
     detects the biases from the state dict and the model applies them
