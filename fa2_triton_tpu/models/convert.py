@@ -77,8 +77,11 @@ def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
         qkv_bias=bool(getattr(hf_config, "attention_bias", False)),
         # Mistral/Qwen2 sliding-window attention. Qwen2 gates it behind
         # use_sliding_window (default off); Mistral applies it whenever set.
+        # OFF-BY-ONE: HF's sliding_window counts the attending token itself
+        # (kv_idx > q_idx - sw), ours counts PREVIOUS tokens (window_left),
+        # so HF sw == ours sw - 1.
         sliding_window=(
-            int(hf_config.sliding_window)
+            int(hf_config.sliding_window) - 1
             if getattr(hf_config, "sliding_window", None)
             and getattr(hf_config, "use_sliding_window", True)
             else -1
@@ -188,6 +191,81 @@ def gemma_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig
     if "lm_head.weight" in sd:
         lm_head = _t(g("lm_head.weight"), dtype)
     else:  # tied: project with the UNSCALED embedding
+        lm_head = jnp.asarray(raw_embed.T).astype(dtype)
+    params = {
+        "embed": jnp.asarray(
+            raw_embed * np.sqrt(np.float32(cfg.dim))).astype(dtype),
+        "layers": layers,
+        "final_norm": norm_plus1("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+    return params, cfg
+
+
+def gemma2_params_from_hf(model, dtype=jnp.bfloat16
+                          ) -> Tuple[Params, LlamaConfig]:
+    """Convert a `transformers.Gemma2ForCausalLM`. Beyond Gemma1's absorbed
+    departures (see `gemma_params_from_hf`), Gemma2 adds — all mapped to
+    first-class config/kernel features, not emulation:
+    - POST-norms on both sublayer outputs -> "post_attn_norm"/"post_mlp_norm"
+      layer keys (presence-driven in `models/llama.py`);
+    - attention score softcapping -> `cfg.attn_softcap` (the flash kernels'
+      native `softcap`, which the reference only has in its oracle);
+    - sliding window on EVEN layers only -> `cfg.alt_window`;
+    - softmax scale from query_pre_attn_scalar -> `cfg.attn_scale`;
+    - final-logit softcapping -> `cfg.logit_softcap`.
+    """
+    hc = model.config
+    cfg = LlamaConfig(
+        vocab_size=hc.vocab_size,
+        dim=hc.hidden_size,
+        n_layers=hc.num_hidden_layers,
+        n_heads=hc.num_attention_heads,
+        n_kv_heads=hc.num_key_value_heads,
+        hidden_dim=hc.intermediate_size,
+        head_dim=hc.head_dim,
+        rope_theta=float(getattr(hc, "rope_theta", 10000.0)),
+        norm_eps=float(hc.rms_norm_eps),
+        max_seq_len=hc.max_position_embeddings,
+        dtype=dtype,
+        hidden_act="gelu_tanh",
+        # HF counts the attending token inside the window; window_left
+        # counts previous tokens only (verified vs HF eager at the boundary).
+        sliding_window=int(hc.sliding_window) - 1,
+        alt_window=True,
+        attn_scale=float(hc.query_pre_attn_scalar) ** -0.5,
+        attn_softcap=float(hc.attn_logit_softcapping or 0.0),
+        logit_softcap=float(hc.final_logit_softcapping or 0.0),
+    )
+    sd = {k: v.detach().cpu() for k, v in model.state_dict().items()}
+    g = sd.__getitem__
+
+    def norm_plus1(name):
+        return _a(g(name)) + 1.0
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        layers.append({
+            "attn_norm": norm_plus1(p + "input_layernorm.weight"),
+            # NB: HF Gemma2's "post_attention_layernorm" is a true POST-norm
+            # on the attention OUTPUT (unlike Llama, where that name is the
+            # pre-MLP norm); the pre-MLP norm is "pre_feedforward_layernorm".
+            "post_attn_norm": norm_plus1(p + "post_attention_layernorm.weight"),
+            "wq": _t(g(p + "self_attn.q_proj.weight"), dtype),
+            "wk": _t(g(p + "self_attn.k_proj.weight"), dtype),
+            "wv": _t(g(p + "self_attn.v_proj.weight"), dtype),
+            "wo": _t(g(p + "self_attn.o_proj.weight"), dtype),
+            "mlp_norm": norm_plus1(p + "pre_feedforward_layernorm.weight"),
+            "post_mlp_norm": norm_plus1(p + "post_feedforward_layernorm.weight"),
+            "w_gate": _t(g(p + "mlp.gate_proj.weight"), dtype),
+            "w_up": _t(g(p + "mlp.up_proj.weight"), dtype),
+            "w_down": _t(g(p + "mlp.down_proj.weight"), dtype),
+        })
+    raw_embed = np.asarray(g("model.embed_tokens.weight"), np.float32)
+    if "lm_head.weight" in sd:
+        lm_head = _t(g("lm_head.weight"), dtype)
+    else:
         lm_head = jnp.asarray(raw_embed.T).astype(dtype)
     params = {
         "embed": jnp.asarray(

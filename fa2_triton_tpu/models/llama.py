@@ -53,6 +53,17 @@ class LlamaConfig:
     # so no config field is needed for it).
     hidden_act: str = "silu"
     logit_softcap: float = 0.0
+    # Gemma2-style attention knobs: tanh score capping inside every
+    # attention call (the kernels' native `softcap`), an explicit softmax
+    # scale (query_pre_attn_scalar**-0.5; None = 1/sqrt(head_dim)), and
+    # layer-ALTERNATING sliding windows (even layers use `sliding_window`,
+    # odd layers full causal — HF Gemma2's `not bool(layer_idx % 2)` rule).
+    # Post-norms (RMSNorm on each sublayer's OUTPUT before the residual add)
+    # are presence-driven: layers carrying "post_attn_norm"/"post_mlp_norm"
+    # keys apply them, so the config needs no flag.
+    attn_softcap: float = 0.0
+    attn_scale: Optional[float] = None
+    alt_window: bool = False
     # Llama-3.x RoPE frequency scaling: (factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings), applied to
     # inv_freq exactly as HF's `_compute_llama3_parameters`. None = vanilla
@@ -68,6 +79,17 @@ class LlamaConfig:
     @property
     def hd(self) -> int:
         return self.head_dim or self.dim // self.n_heads
+
+    @property
+    def scale(self) -> float:
+        return (self.attn_scale if self.attn_scale is not None
+                else self.hd ** -0.5)
+
+    def window_for(self, li: int) -> int:
+        """Effective sliding window for layer `li` (-1 = full causal)."""
+        if self.sliding_window < 0 or (self.alt_window and li % 2 == 1):
+            return -1
+        return self.sliding_window
 
 
 Params = Dict[str, Any]
@@ -185,6 +207,8 @@ def _attention_block(
     else:
         attn = attention_fn(q, k, v, None)
     out = _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"])
+    if "post_attn_norm" in layer:   # Gemma2: norm the sublayer OUTPUT
+        out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
     return x + out, new_cache
 
 
@@ -213,7 +237,10 @@ def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig,
     act = (jax.nn.silu if cfg.hidden_act == "silu"
            else partial(jax.nn.gelu, approximate=True))
     gated = act(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
-    return x + _psum(_mm(gated, layer["w_down"]), psum_axis)
+    out = _psum(_mm(gated, layer["w_down"]), psum_axis)
+    if "post_mlp_norm" in layer:    # Gemma2 (post-norm AFTER the TP psum)
+        out = rms_norm(out, layer["post_mlp_norm"], cfg.norm_eps)
+    return x + out
 
 
 def _logits(x: jax.Array, params: Params, cfg: LlamaConfig) -> jax.Array:
@@ -228,14 +255,41 @@ def default_attention(q, k, v, _kv_len):
     return flash_attn_func(q, k, v, causal=True)
 
 
-def make_attention_fn(cfg: LlamaConfig) -> Callable:
-    """Config-driven training attention (full causal or sliding window)."""
-    if cfg.sliding_window < 0:
+def make_cached_attention_fn(cfg: LlamaConfig) -> Callable:
+    """Config-driven KV-cache attention for `forward_with_cache` (the
+    speculative/greedy cached decode path): plain models get the bare
+    4-arg wrapper; models with window/softcap/scale knobs get the per-layer
+    (`li` keyword) form that `forward_with_cache` detects and specializes."""
+    from fa2_triton_tpu.ops.attention import flash_attn_with_kv_cache
+
+    if (cfg.sliding_window < 0 and cfg.attn_softcap == 0.0
+            and cfg.attn_scale is None):
+        def attn(q, ck, cv, kv_len):
+            return flash_attn_with_kv_cache(q, ck, cv, kv_len)
+        return attn
+
+    def attn(q, ck, cv, kv_len, li=0):
+        return flash_attn_with_kv_cache(
+            q, ck, cv, kv_len, softmax_scale=cfg.scale,
+            window_left=cfg.window_for(li), softcap=cfg.attn_softcap,
+        )
+    return attn
+
+
+def make_attention_fn(cfg: LlamaConfig, li: int = 0) -> Callable:
+    """Config-driven training attention for layer `li` (full causal,
+    per-layer sliding window, score softcap, explicit scale)."""
+    window = cfg.window_for(li)
+    if window < 0 and cfg.attn_softcap == 0.0 and cfg.attn_scale is None:
         return default_attention
-    window = (cfg.sliding_window, 0)
+    kwargs = dict(causal=True, softmax_scale=cfg.scale)
+    if window >= 0:
+        kwargs["window_size"] = (window, 0)
+    if cfg.attn_softcap > 0.0:
+        kwargs["softcap"] = cfg.attn_softcap
 
     def attn(q, k, v, _kv_len):
-        return flash_attn_func(q, k, v, causal=True, window_size=window)
+        return flash_attn_func(q, k, v, **kwargs)
 
     return attn
 
@@ -247,23 +301,26 @@ def forward(
     attention_fn: Optional[Callable] = None,
     positions: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Training/prefill forward pass -> logits [B, S, vocab] (fp32)."""
-    if attention_fn is None:
-        attention_fn = make_attention_fn(cfg)
+    """Training/prefill forward pass -> logits [B, S, vocab] (fp32).
+
+    `attention_fn=None` builds the config-driven per-layer attention
+    (alternating windows etc.); an explicit fn applies to every layer."""
     B, S = tokens.shape
     x = params["embed"][tokens]
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
 
-    def block(layer, x):
-        x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
+    def block(layer, x, fn):
+        x, _ = _attention_block(layer, x, cfg, cos, sin, fn)
         return _mlp_block(layer, x, cfg)
 
     if cfg.remat:
-        block = jax.checkpoint(block)
-    for layer in params["layers"]:
-        x = block(layer, x)
+        block = jax.checkpoint(block, static_argnums=(2,))
+    for li, layer in enumerate(params["layers"]):
+        fn = attention_fn if attention_fn is not None \
+            else make_attention_fn(cfg, li)
+        x = block(layer, x, fn)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _logits(x, params, cfg)
 
@@ -311,20 +368,24 @@ def prefill_forward(
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     mask = positions < true_len[:, None]
     kvs = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
         q, k = apply_rope(q, cs, sn), apply_rope(k, cs, sn)
         kvs.append((k, v))
+        w = cfg.window_for(li)
         attn = flash_attn_func(
             q, k, v, attention_mask=mask, causal=True,
-            window_size=(cfg.sliding_window, 0) if cfg.sliding_window >= 0
-            else (-1, -1),
+            softmax_scale=cfg.scale, softcap=cfg.attn_softcap,
+            window_size=(w, 0) if w >= 0 else (-1, -1),
         )
-        x = x + _psum(
+        out = _psum(
             _mm(attn.reshape(B, S, cfg.n_heads * cfg.hd), layer["wo"]),
             psum_axis,
         )
+        if "post_attn_norm" in layer:
+            out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + out
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _logits(x, params, cfg), kvs
@@ -372,7 +433,7 @@ def chunk_prefill_step(
     while S_max % block_kv:
         block_kv //= 2
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
         q, k = apply_rope(q, cs, sn), apply_rope(k, cs, sn)
@@ -394,19 +455,25 @@ def chunk_prefill_step(
             qT = jnp.pad(qT, ((0, 0), (0, 0), (0, 0), (0, Dp - cfg.hd)))
         if Cp != C:
             qT = jnp.pad(qT, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+        w = cfg.window_for(li)
         o, _ = flash_attn_forward(
             qT.astype(kv_cfg.compute_dtype), kc, vc, lens, scalars, None,
-            causal=True, softmax_scale=cfg.hd ** -0.5,
+            causal=True, softmax_scale=cfg.scale,
+            window=(w, 0) if w >= 0 else (-1, -1),
+            softcap=cfg.attn_softcap,
             block_q=min(128, Cp), block_kv=block_kv,
             seqlen_q_real=C, seqlen_k_real=S_max,
             static_skip=False, varlen=True,
         )
         attn = jnp.transpose(o[:, :, :C, :cfg.hd], (0, 2, 1, 3))
-        x = x + _psum(
+        out = _psum(
             _mm(attn.reshape(B, C, cfg.n_heads * cfg.hd).astype(x.dtype),
                 layer["wo"]),
             psum_axis,
         )
+        if "post_attn_norm" in layer:
+            out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + out
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     last = jax.lax.dynamic_slice_in_dim(x, chunk_len[0] - 1, 1, axis=1)[:, 0]
@@ -435,7 +502,7 @@ def decode_step(
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     Dp = kv_cfg.head_dim_padded
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
         q = apply_rope(q, cs, sn)
@@ -449,14 +516,18 @@ def decode_step(
             qp, cache["k"], cache["v"], lens + 1,
             cache.get("k_scale"), cache.get("v_scale"),
             # Scale from the MODEL head dim, not the lane-padded one.
-            softmax_scale=cfg.hd ** -0.5,
+            softmax_scale=cfg.scale,
             block_kv=kv_cfg.block_kv,
-            window_left=cfg.sliding_window,
+            window_left=cfg.window_for(li),
+            softcap=cfg.attn_softcap,
         )[:, :, :cfg.hd]
-        x = x + _psum(
+        out = _psum(
             _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"]),
             psum_axis,
         )
+        if "post_attn_norm" in layer:
+            out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + out
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _logits(x[:, 0], params, cfg), new_caches
@@ -468,18 +539,26 @@ def forward_with_cache(
     cfg: LlamaConfig,
     caches,                        # list of (k, v) per layer
     cache_len: jax.Array,          # scalar int32: tokens already in cache
-    cached_attention_fn: Callable, # (q, k_cache, v_cache, kv_len) -> out
+    cached_attention_fn: Callable, # (q, k_cache, v_cache, kv_len[, li]) -> out
 ):
-    """One prefill/decode step; returns (logits [B, S_step, V], new caches)."""
+    """One prefill/decode step; returns (logits [B, S_step, V], new caches).
+
+    `cached_attention_fn` may take an optional trailing `li` (layer index)
+    keyword to specialize per layer (Gemma2's alternating windows)."""
+    import inspect
+
     B, S = tokens.shape
     x = params["embed"][tokens]
     positions = cache_len + jnp.arange(S, dtype=jnp.int32)
     positions = jnp.broadcast_to(positions, (B, S))
     cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
+    per_layer = "li" in inspect.signature(cached_attention_fn).parameters
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
+        fn = (partial(cached_attention_fn, li=li) if per_layer
+              else cached_attention_fn)
         x, new_cache = _attention_block(
-            layer, x, cfg, cos, sin, cached_attention_fn,
+            layer, x, cfg, cos, sin, fn,
             cache=cache, cache_len=cache_len,
         )
         new_caches.append(new_cache)
@@ -531,7 +610,7 @@ def paged_decode_step(
     cs, sn = cos[:, :, None, :], sin[:, :, None, :]
     Dp = pcfg.head_dim_padded
     new_pools = []
-    for layer, pool in zip(params["layers"], pools):
+    for li, (layer, pool) in enumerate(zip(params["layers"], pools)):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
         q = apply_rope(q, cs, sn)
@@ -544,13 +623,17 @@ def paged_decode_step(
         attn = paged_decode_attention(
             qp, pool["k"], pool["v"], tables, lens + 1,
             pool.get("k_scale"), pool.get("v_scale"),
-            softmax_scale=cfg.hd ** -0.5,
-            window_left=cfg.sliding_window,
+            softmax_scale=cfg.scale,
+            window_left=cfg.window_for(li),
+            softcap=cfg.attn_softcap,
         )[:, :, :cfg.hd]
-        x = x + _psum(
+        out = _psum(
             _mm(attn.reshape(B, 1, cfg.n_heads * cfg.hd), layer["wo"]),
             psum_axis,
         )
+        if "post_attn_norm" in layer:
+            out = rms_norm(out, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + out
         x = _mlp_block(layer, x, cfg, psum_axis)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _logits(x[:, 0], params, cfg), new_pools

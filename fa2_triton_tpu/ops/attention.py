@@ -280,6 +280,8 @@ def flash_attn_with_kv_cache(
     softmax_scale: Optional[float] = None,
     block_q: int = 128,
     block_kv: int = 512,
+    window_left: int = -1,  # sliding-window prefix (-1 = full causal)
+    softcap: float = 0.0,   # Gemma2-style tanh score capping (0 = off)
 ) -> jax.Array:
     """Decode/prefill attention over a KV cache prefix (inference path).
 
@@ -311,6 +313,8 @@ def flash_attn_with_kv_cache(
     o, _ = flash_attn_forward(
         qT, kT, vT, lens, scalars, None,
         causal=True, softmax_scale=scale,
+        window=(window_left, 0) if window_left >= 0 else (-1, -1),
+        softcap=softcap,
         block_q=block_q, block_kv=block_kv,
         seqlen_q_real=S_step, seqlen_k_real=S_max,
         static_skip=False, varlen=True,

@@ -55,6 +55,7 @@ def _decode_kernel(
     quantized: bool,
     window_left: int = -1,   # Mistral-style: attend to the last window_left+1
                              # positions only (-1 = full prefix)
+    softcap: float = 0.0,    # Gemma2-style tanh score capping (0 = off)
 ):
     b, h, ik = (pl.program_id(i) for i in range(3))
     kv_len = lens_ref[b]
@@ -83,7 +84,12 @@ def _decode_kernel(
         if quantized:
             # Column scales commute with the contraction: qk[i,j] * s_k[j].
             s2 = s2 * ks_ref[0, 0]
-        s2 = s2 * (scale * LOG2E)
+        if softcap > 0.0:
+            # Cap in NATURAL units (the oracle/FA2 convention:
+            # cap * tanh(s * scale / cap)), then convert to log2 domain.
+            s2 = softcap * jnp.tanh(s2 * (scale / softcap)) * LOG2E
+        else:
+            s2 = s2 * (scale * LOG2E)
         col = ik * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (q.shape[0], block_kv), 1
         )
@@ -133,6 +139,7 @@ def decode_attention(
     softmax_scale: Optional[float] = None,
     block_kv: int = 4096,
     window_left: int = -1,
+    softcap: float = 0.0,
     debug_interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Returns attention output [B, Hq, D]. Cache layout is BHSD with S_max
@@ -209,7 +216,7 @@ def decode_attention(
     o = pl.pallas_call(
         functools.partial(
             kernel_fn, scale=scale, block_kv=block_kv, quantized=quantized,
-            window_left=window_left,
+            window_left=window_left, softcap=softcap,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
@@ -247,6 +254,7 @@ def paged_decode_attention(
     *,
     softmax_scale: Optional[float] = None,
     window_left: int = -1,
+    softcap: float = 0.0,
     debug_interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Decode attention over a PAGED KV cache (vLLM-style block tables).
@@ -321,7 +329,7 @@ def paged_decode_attention(
     o = pl.pallas_call(
         functools.partial(
             kernel_fn, scale=scale, block_kv=page_size, quantized=quantized,
-            window_left=window_left,
+            window_left=window_left, softcap=softcap,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),

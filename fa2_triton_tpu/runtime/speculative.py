@@ -43,13 +43,16 @@ import jax.numpy as jnp
 from fa2_triton_tpu.models.llama import (
     LlamaConfig, forward_with_cache, init_kv_cache,
 )
-from fa2_triton_tpu.ops.attention import flash_attn_with_kv_cache
 from fa2_triton_tpu.runtime.sampling import SamplingParams, adjust_logits_row
 from fa2_triton_tpu.utils import next_power_of_2
 
 
-def _cached_attn(q, ck, cv, kv_len):
-    return flash_attn_with_kv_cache(q, ck, cv, kv_len)
+def _cached_attn_for(cfg):
+    # Config-driven cached attention (window/softcap/scale knobs flow from
+    # the model config; see models/llama.py:make_cached_attention_fn).
+    from fa2_triton_tpu.models.llama import make_cached_attention_fn
+
+    return make_cached_attention_fn(cfg)
 
 
 def spec_accept(p_probs, q_probs, proposals, key):
@@ -141,7 +144,8 @@ class SpeculativeDecoder:
 
             def f(params, tokens, caches, cache_len):
                 logits, caches = forward_with_cache(
-                    params, tokens, cfg, caches, cache_len, _cached_attn)
+                    params, tokens, cfg, caches, cache_len,
+                    _cached_attn_for(cfg))
                 return logits, caches
 
             self._jit_cache[key] = jax.jit(f, donate_argnums=(2,))
@@ -165,7 +169,7 @@ class SpeculativeDecoder:
                     caches, tok = carry
                     logits, caches = forward_with_cache(
                         params, tok[None, None], cfg, caches, d_len + i,
-                        _cached_attn)
+                        _cached_attn_for(cfg))
                     adj = adjust_logits_row(logits[0, 0], temp, top_k, top_p)
                     q_row = jax.nn.softmax(adj)
                     nxt = jax.random.categorical(
@@ -188,7 +192,7 @@ class SpeculativeDecoder:
             def f(params, row, caches, t_len, props, q, samp, root_key):
                 temp, top_k, top_p = samp
                 logits, caches = forward_with_cache(
-                    params, row, cfg, caches, t_len, _cached_attn)
+                    params, row, cfg, caches, t_len, _cached_attn_for(cfg))
                 adj = jax.vmap(
                     lambda l: adjust_logits_row(l, temp, top_k, top_p)
                 )(logits[0])

@@ -211,6 +211,60 @@ def test_gemma_greedy_decode_matches_hf():
     assert ours == hf_out, (ours, hf_out)
 
 
+def _tiny_gemma2(seed, sliding_window=32):
+    torch.manual_seed(seed)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True, attn_implementation="eager",
+        sliding_window=sliding_window, query_pre_attn_scalar=24.0,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+    )
+    return transformers.Gemma2ForCausalLM(hf_cfg).eval()
+
+
+def test_gemma2_logits_parity_vs_transformers():
+    """Gemma2: post-norms, attention softcap (the kernels' native feature),
+    query_pre_attn_scalar scale, ALTERNATING sliding windows, final-logit
+    softcap — full-stack parity against the HF eager forward. The 60-token
+    sequence exceeds the 32-token window, so the even layers' sliding
+    masking is load-bearing."""
+    from fa2_triton_tpu.models.convert import gemma2_params_from_hf
+
+    model = _tiny_gemma2(29)
+    params, cfg = gemma2_params_from_hf(model, dtype=jnp.float32)
+    assert cfg.alt_window and cfg.attn_softcap == 50.0
+    assert cfg.window_for(0) == 31 and cfg.window_for(1) == -1
+    assert "post_attn_norm" in params["layers"][0]
+    ids = np.random.RandomState(14).randint(0, 128, size=(2, 60))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+
+def test_gemma2_greedy_decode_matches_hf():
+    """The CACHED decode path (forward_with_cache with per-layer windows +
+    softcap through `flash_attn_with_kv_cache`) against HF generate."""
+    from fa2_triton_tpu.models.convert import gemma2_params_from_hf
+
+    model = _tiny_gemma2(31)
+    params, cfg = gemma2_params_from_hf(model, dtype=jnp.float32)
+    prompt = np.random.RandomState(15).randint(0, 128, size=40).tolist()
+    n_new = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    from fa2_triton_tpu.runtime.speculative import greedy_reference
+
+    ours = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
+    assert ours == hf_out, (ours, hf_out)
+
+
 def test_logit_softcap_applied():
     """cfg.logit_softcap caps every forward path's logits (Gemma2-style)."""
     from fa2_triton_tpu.models import LlamaConfig as LC, init_params
@@ -244,3 +298,26 @@ def test_gpt2_logits_parity_vs_transformers():
         hf_logits = model(torch.tensor(ids)).logits.numpy()
     ours = np.asarray(gpt2.forward(params, jnp.asarray(ids, jnp.int32), cfg))
     np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_gemma2_served_through_engine(paged):
+    """Gemma2 through the serving Engine: the DECODE KERNELS' softcap +
+    per-layer alternating windows (`ops/decode.py`) must reproduce HF
+    generate token-for-token."""
+    from fa2_triton_tpu.models.convert import gemma2_params_from_hf
+    from fa2_triton_tpu.runtime import Engine
+
+    model = _tiny_gemma2(37)
+    params, cfg = gemma2_params_from_hf(model, dtype=jnp.float32)
+    prompt = np.random.RandomState(16).randint(0, 128, size=40).tolist()
+    n_new = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    eng = Engine(params, cfg, n_slots=2, max_seq=128, paged=paged)
+    req = eng.submit(prompt, max_new_tokens=n_new)
+    eng.run()
+    assert req.out_tokens == hf_out, (paged, req.out_tokens, hf_out)
