@@ -105,6 +105,8 @@ def llama_params_from_hf(model, dtype=jnp.bfloat16
     has_bias = "model.layers.0.self_attn.q_proj.bias" in sd
     if has_bias != cfg.qkv_bias:
         cfg = replace(cfg, qkv_bias=has_bias)
+    # Qwen3-style per-head QK RMSNorm (normalized over head_dim pre-RoPE).
+    has_qk_norm = "model.layers.0.self_attn.q_norm.weight" in sd
     layers = []
     for i in range(cfg.n_layers):
         p = f"model.layers.{i}."
@@ -113,6 +115,10 @@ def llama_params_from_hf(model, dtype=jnp.bfloat16
             "bk": _a(g(p + "self_attn.k_proj.bias")),
             "bv": _a(g(p + "self_attn.v_proj.bias")),
         } if has_bias else {}
+        if has_qk_norm:
+            bias = dict(bias,
+                        q_norm=_a(g(p + "self_attn.q_norm.weight")),
+                        k_norm=_a(g(p + "self_attn.k_norm.weight")))
         layers.append({
             **bias,
             "attn_norm": _a(g(p + "input_layernorm.weight")),

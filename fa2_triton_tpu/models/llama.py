@@ -168,8 +168,10 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _qkv(layer: Params, h: jax.Array, cfg: LlamaConfig):
-    """Pre-RoPE q/k/v projections, applying Qwen2-style additive biases when
-    the layer carries them ("bq"/"bk"/"bv" keys)."""
+    """Pre-RoPE q/k/v projections, applying Qwen2-style additive biases
+    ("bq"/"bk"/"bv" keys) and Qwen3-style per-head QK RMSNorm
+    ("q_norm"/"k_norm" keys, normalized over head_dim before RoPE) when the
+    layer carries them."""
     B, S, _ = h.shape
     q = _mm(h, layer["wq"])
     k = _mm(h, layer["wk"])
@@ -178,9 +180,12 @@ def _qkv(layer: Params, h: jax.Array, cfg: LlamaConfig):
         q = (q.astype(jnp.float32) + layer["bq"]).astype(q.dtype)
         k = (k.astype(jnp.float32) + layer["bk"]).astype(k.dtype)
         v = (v.astype(jnp.float32) + layer["bv"]).astype(v.dtype)
-    return (q.reshape(B, S, cfg.n_heads, cfg.hd),
-            k.reshape(B, S, cfg.n_kv_heads, cfg.hd),
-            v.reshape(B, S, cfg.n_kv_heads, cfg.hd))
+    q = q.reshape(B, S, cfg.n_heads, cfg.hd)
+    k = k.reshape(B, S, cfg.n_kv_heads, cfg.hd)
+    if "q_norm" in layer:
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+    return q, k, v.reshape(B, S, cfg.n_kv_heads, cfg.hd)
 
 
 def _attention_block(

@@ -217,8 +217,13 @@ def make_llama_3d_forward(
                 q = (q.astype(jnp.float32) + layer["bq"]).astype(q.dtype)
                 k = (k.astype(jnp.float32) + layer["bk"]).astype(k.dtype)
                 v = (v.astype(jnp.float32) + layer["bv"]).astype(v.dtype)
-            q = apply_rope(q.reshape(mb, S, hq, cfg.hd), cs, sn)
-            k = apply_rope(k.reshape(mb, S, hkv, cfg.hd), cs, sn)
+            q = q.reshape(mb, S, hq, cfg.hd)
+            k = k.reshape(mb, S, hkv, cfg.hd)
+            if "q_norm" in layer:  # Qwen3-style per-head QK RMSNorm
+                q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+                k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+            q = apply_rope(q, cs, sn)
+            k = apply_rope(k, cs, sn)
             v = v.reshape(mb, S, hkv, cfg.hd)
             attn = flash_attn_func(q, k, v, causal=True, window_size=window)
             x = x + psum_tp(attn.reshape(mb, S, hq * cfg.hd) @ layer["wo"])

@@ -321,3 +321,36 @@ def test_gemma2_served_through_engine(paged):
     req = eng.submit(prompt, max_new_tokens=n_new)
     eng.run()
     assert req.out_tokens == hf_out, (paged, req.out_tokens, hf_out)
+
+
+def test_qwen3_logits_and_decode_parity_vs_transformers():
+    """Qwen3 = Llama + per-head QK RMSNorm pre-RoPE (no qkv biases); the
+    converter detects q_norm/k_norm from the state dict."""
+    torch.manual_seed(41)
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    params, cfg = llama_params_from_hf(model, dtype=jnp.float32)
+    assert "q_norm" in params["layers"][0] and not cfg.qkv_bias
+    ids = np.random.RandomState(18).randint(0, 128, size=(2, 31))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+    prompt = [8, 44, 91, 3]
+    n_new = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    from fa2_triton_tpu.runtime.speculative import greedy_reference
+
+    ours_dec = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
+    assert ours_dec == hf_out, (ours_dec, hf_out)
