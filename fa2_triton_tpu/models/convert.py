@@ -145,6 +145,66 @@ def llama_params_from_hf(model, dtype=jnp.bfloat16
     return params, cfg
 
 
+def phi3_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+    """Convert a `transformers.Phi3ForCausalLM`: Llama architecture with
+    PACKED projections — `qkv_proj` is [q;k;v] stacked on the output dim and
+    `gate_up_proj` is [gate;up] — so conversion just splits the matrices.
+    Sliding window (when set) maps with the HF off-by-one (see
+    `llama_config_from_hf`)."""
+    hc = model.config
+    sw = getattr(hc, "sliding_window", None)
+    cfg = LlamaConfig(
+        vocab_size=hc.vocab_size,
+        dim=hc.hidden_size,
+        n_layers=hc.num_hidden_layers,
+        n_heads=hc.num_attention_heads,
+        n_kv_heads=getattr(hc, "num_key_value_heads", hc.num_attention_heads),
+        hidden_dim=hc.intermediate_size,
+        head_dim=hc.hidden_size // hc.num_attention_heads,
+        rope_theta=float(getattr(hc, "rope_theta", 10000.0)),
+        norm_eps=float(hc.rms_norm_eps),
+        max_seq_len=hc.max_position_embeddings,
+        dtype=dtype,
+        sliding_window=int(sw) - 1 if sw else -1,
+    )
+    rs = getattr(hc, "rope_scaling", None)
+    if rs is not None:
+        raise NotImplementedError(
+            f"phi3 rope_scaling {rs.get('type')!r} (longrope) not supported")
+    sd = {k: v.detach().cpu() for k, v in model.state_dict().items()}
+    g = sd.__getitem__
+    q_sz = cfg.n_heads * cfg.hd
+    kv_sz = cfg.n_kv_heads * cfg.hd
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        qkv = _t(g(p + "self_attn.qkv_proj.weight"), dtype)   # [in, q+k+v]
+        gate_up = _t(g(p + "mlp.gate_up_proj.weight"), dtype)  # [in, 2*hidden]
+        layers.append({
+            "attn_norm": _a(g(p + "input_layernorm.weight")),
+            "wq": qkv[:, :q_sz],
+            "wk": qkv[:, q_sz:q_sz + kv_sz],
+            "wv": qkv[:, q_sz + kv_sz:],
+            "wo": _t(g(p + "self_attn.o_proj.weight"), dtype),
+            "mlp_norm": _a(g(p + "post_attention_layernorm.weight")),
+            "w_gate": gate_up[:, :cfg.hidden_dim],
+            "w_up": gate_up[:, cfg.hidden_dim:],
+            "w_down": _t(g(p + "mlp.down_proj.weight"), dtype),
+        })
+    embed = _a(g("model.embed_tokens.weight"), dtype)
+    if "lm_head.weight" in sd:
+        lm_head = _t(g("lm_head.weight"), dtype)
+    else:
+        lm_head = jnp.asarray(np.asarray(embed, np.float32).T).astype(dtype)
+    params = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": _a(g("model.norm.weight")),
+        "lm_head": lm_head,
+    }
+    return params, cfg
+
+
 def gemma_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
     """Convert a `transformers.GemmaForCausalLM` to the LLaMA-family pytree.
 

@@ -354,3 +354,37 @@ def test_qwen3_logits_and_decode_parity_vs_transformers():
 
     ours_dec = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
     assert ours_dec == hf_out, (ours_dec, hf_out)
+
+
+def test_phi3_logits_and_decode_parity_vs_transformers():
+    """Phi-3 = Llama with PACKED qkv_proj / gate_up_proj; conversion splits
+    the stacked matrices."""
+    from fa2_triton_tpu.models.convert import phi3_params_from_hf
+
+    torch.manual_seed(43)
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+        sliding_window=None, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    params, cfg = phi3_params_from_hf(model, dtype=jnp.float32)
+    ids = np.random.RandomState(20).randint(0, 128, size=(2, 35))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
+
+    prompt = [2, 77, 13, 50]
+    n_new = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0, len(prompt):].tolist()
+    from fa2_triton_tpu.runtime.speculative import greedy_reference
+
+    ours_dec = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
+    assert ours_dec == hf_out, (ours_dec, hf_out)
