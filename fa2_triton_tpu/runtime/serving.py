@@ -46,6 +46,10 @@ class Request:
     # (`Engine._preempt`): keeps end-of-request prefix registration from
     # double-counting the pre-preemption generation.
     folded: int = 0
+    # Per-request stop tokens (checked in ADDITION to the engine eos_id);
+    # generation ends when any is emitted (the stop token is kept in
+    # out_tokens, matching the eos convention).
+    stop_ids: Optional[frozenset] = None
     # Per-request sampling (temperature/top-k/top-p/seed); GREEDY default.
     # Deterministic by construction: token i comes from fold_in(seed, i)
     # (`runtime/sampling.py`), so retries and preemption-resumes reproduce.
@@ -472,10 +476,12 @@ class Engine:
         self.seed_np[slot] = np.uint32(sp.seed)
 
     def submit(self, prompt: List[int], max_new_tokens: int,
-               sampling: Optional[SamplingParams] = None) -> Request:
+               sampling: Optional[SamplingParams] = None,
+               stop_ids=None) -> Request:
         req = Request(rid=len(self.queue), prompt=list(prompt),
                       max_new_tokens=max_new_tokens,
-                      sampling=sampling or GREEDY)
+                      sampling=sampling or GREEDY,
+                      stop_ids=frozenset(stop_ids) if stop_ids else None)
         self.queue.append(req)
         return req
 
@@ -576,7 +582,9 @@ class Engine:
         tok = req.out_tokens[-1] if req.out_tokens else None
         exhausted = len(req.out_tokens) >= req.max_new_tokens
         full = int(self.lens_np[slot]) + 1 >= self._max_seq_padded
-        if (self.eos_id is not None and tok == self.eos_id) or exhausted or full:
+        stopped = ((self.eos_id is not None and tok == self.eos_id)
+                   or (req.stop_ids is not None and tok in req.stop_ids))
+        if stopped or exhausted or full:
             req.done = True
             self.slot_req[slot] = None
             if self.paged:
@@ -719,10 +727,12 @@ class DataParallelEngine:
         self._rid = 0
 
     def submit(self, prompt: List[int], max_new_tokens: int,
-               sampling: Optional[SamplingParams] = None) -> Request:
+               sampling: Optional[SamplingParams] = None,
+               stop_ids=None) -> Request:
         req = Request(rid=self._rid, prompt=list(prompt),
                       max_new_tokens=max_new_tokens,
-                      sampling=sampling or GREEDY)
+                      sampling=sampling or GREEDY,
+                      stop_ids=frozenset(stop_ids) if stop_ids else None)
         self._rid += 1
         self.queue.append(req)
         return req

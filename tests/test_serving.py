@@ -209,3 +209,22 @@ def test_engine_chunked_prefill_interleaves_decode(params):
     assert len(short.out_tokens) == n_before + 2
     eng.run()
     assert long_req.done and short.done
+
+
+def test_per_request_stop_ids(params):
+    """Generation halts when any per-request stop token is emitted (token
+    kept, like eos); other requests are unaffected."""
+    rng = np.random.RandomState(8)
+    prompt = rng.randint(0, CFG.vocab_size, size=9).tolist()
+    eng = Engine(params, CFG, n_slots=2, max_seq=256)
+    free_run = eng.submit(prompt, max_new_tokens=8)
+    eng.run()
+    assert len(free_run.out_tokens) == 8
+    stop_tok = free_run.out_tokens[3]
+
+    eng2 = Engine(params, CFG, n_slots=2, max_seq=256)
+    stopped = eng2.submit(prompt, max_new_tokens=8, stop_ids={stop_tok})
+    other = eng2.submit(prompt, max_new_tokens=8)
+    eng2.run()
+    assert stopped.out_tokens == free_run.out_tokens[:4]
+    assert other.out_tokens == free_run.out_tokens
