@@ -99,9 +99,10 @@ class Engine:
         # Chunked prefill: prompts longer than `prefill_chunk` are admitted
         # immediately but prefilled ONE bounded chunk per engine step,
         # interleaved with decode — long prompts no longer stall active
-        # generations (see `models/llama.py:chunk_prefill_step`).
-        assert prefill_chunk is None or not paged, \
-            "chunked prefill is implemented for the contiguous cache"
+        # generations. Contiguous caches use `chunk_prefill_step` directly;
+        # paged caches run each chunk through the suffix-prefill program
+        # (page gather -> chunk prefill -> scatter), composing with prefix
+        # caching (a matched prefix just advances the chunk cursor).
         assert prefill_chunk is None or prefill_chunk % 128 == 0
         self.prefill_chunk = prefill_chunk
         self._prefilling: Dict[int, int] = {}   # slot -> next prompt offset
@@ -420,17 +421,52 @@ class Engine:
             chunk = req.prompt[pos:pos + C]
             tokens = np.zeros((1, C), np.int32)
             tokens[0, :len(chunk)] = chunk
-            (next_tok, next_lp), self.caches = self._get_chunk_prefill()(
-                self.params, jnp.asarray(tokens),
-                jnp.asarray([len(chunk)], jnp.int32),
-                jnp.asarray([pos], jnp.int32), self.caches, slot,
-                self._samp1(req),
-            )
+            if self.paged:
+                # Run the chunk through the suffix-prefill program. The view
+                # page-count is pow2-bucketed to bound compiles; unallocated
+                # table entries gather (and scatter back) the reserved
+                # page 0, whose contents the length-clamped attention never
+                # reads.
+                page = self.kv_cfg.page_size
+                while True:
+                    try:
+                        self.pcache.ensure_capacity(slot, pos + len(chunk))
+                        break
+                    except MemoryError:
+                        victims = [
+                            v for v, r in enumerate(self.slot_req)
+                            if r is not None and v != slot
+                            and v not in self._prefilling
+                        ]
+                        if not victims:
+                            raise
+                        self._preempt(max(
+                            victims,
+                            key=lambda x: len(self.pcache._slot_pages[x])))
+                n_pages = min(next_power_of_2(-(-(pos + C) // page)),
+                              self.kv_cfg.max_pages_per_slot)
+                (next_tok, next_lp), self.pcache.pools = \
+                    self._get_suffix_prefill(C, n_pages)(
+                        self.params, jnp.asarray(tokens),
+                        jnp.asarray([len(chunk)], jnp.int32),
+                        jnp.asarray([pos], jnp.int32),
+                        self.pcache.pools, self.pcache.tables_device(),
+                        slot, self._samp1(req),
+                    )
+            else:
+                (next_tok, next_lp), self.caches = self._get_chunk_prefill()(
+                    self.params, jnp.asarray(tokens),
+                    jnp.asarray([len(chunk)], jnp.int32),
+                    jnp.asarray([pos], jnp.int32), self.caches, slot,
+                    self._samp1(req),
+                )
             pos += len(chunk)
             self.stats.prefill_tokens += len(chunk)
             if pos >= len(req.prompt):
                 # Final chunk: its last-token logits seed decoding.
                 del self._prefilling[slot]
+                if self.paged and self.prefix_cache:
+                    self.pcache.register_prefix(slot, req.prompt)
                 self.lens_np[slot] = len(req.prompt)
                 self.last_tokens = self.last_tokens.at[slot].set(next_tok)
                 req.out_tokens.append(int(next_tok))
@@ -495,9 +531,16 @@ class Engine:
                 # Long prompt: claim the slot now, prefill chunk-by-chunk
                 # across subsequent steps (decode keeps running meanwhile).
                 assert len(req.prompt) <= self._max_seq_padded
+                start = 0
+                if self.paged and self.prefix_cache:
+                    n_cached, shared = self.pcache.match_prefix(req.prompt)
+                    if n_cached:
+                        self.pcache.attach(slot, shared)
+                        self.stats.prefix_cached_tokens += n_cached
+                        start = n_cached
                 self.slot_req[slot] = req
                 self._set_slot_sampling(slot, req)
-                self._prefilling[slot] = 0
+                self._prefilling[slot] = start
                 # The batched decode runs over ALL slots every step and
                 # writes each slot's new-token KV at its lens — a mid-prefill
                 # slot must park its write on the sacrificial tail row (real
@@ -505,7 +548,10 @@ class Engine:
                 # lens + 1 >= max_seq_padded, and any final chunk covering
                 # the tail row rewrites it before this slot re-enters
                 # decode). Parking at 0 would corrupt the freshly prefilled
-                # row 0 on every interleaved decode step.
+                # row 0 on every interleaved decode step. In PAGED mode the
+                # parked position's page is never allocated, so the write
+                # routes through table entry 0 — the reserved sacrificial
+                # page that nothing ever reads.
                 self.lens_np[slot] = self._max_seq_padded - 1
                 continue
             s_pad = max(64, next_power_of_2(len(req.prompt)))

@@ -179,3 +179,39 @@ def test_prefix_cache_quantized_pool(params):
                      prefix_cache=True)
     assert warm == cold
     assert eng.stats.prefix_cached_tokens == 128
+
+
+def test_paged_chunked_prefill_matches_unchunked(params):
+    """Chunked prefill on the PAGED cache (suffix-prefill program per chunk)
+    must reproduce the one-shot prefill tokens, with decode interleaving."""
+    rng = np.random.RandomState(8)
+    long_p = rng.randint(0, CFG.vocab_size, size=300).tolist()
+    short_p = rng.randint(0, CFG.vocab_size, size=6).tolist()
+
+    def run(**kw):
+        eng = Engine(params, CFG, n_slots=2, max_seq=512, paged=True,
+                     page_size=128, **kw)
+        r_long = eng.submit(long_p, max_new_tokens=4)
+        r_short = eng.submit(short_p, max_new_tokens=12)
+        eng.run()
+        return r_long.out_tokens, r_short.out_tokens
+
+    base = run()
+    chunked = run(prefill_chunk=128)
+    assert chunked == base
+
+
+def test_paged_chunked_prefill_composes_with_prefix_cache(params):
+    """A repeated long prompt under chunked+prefix serving: the second
+    request's chunk cursor starts past the cached pages."""
+    rng = np.random.RandomState(9)
+    prompt = rng.randint(0, CFG.vocab_size, size=300).tolist()
+    eng = Engine(params, CFG, n_slots=1, max_seq=512, paged=True,
+                 page_size=128, prefill_chunk=128, prefix_cache=True)
+    r1 = eng.submit(prompt, max_new_tokens=4)
+    eng.run()
+    r2 = eng.submit(prompt, max_new_tokens=4)
+    eng.run()
+    assert r2.out_tokens == r1.out_tokens
+    # 2 full pages (256 tokens) of the 300-token prompt came from the cache.
+    assert eng.stats.prefix_cached_tokens == 256
