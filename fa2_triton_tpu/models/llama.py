@@ -287,7 +287,12 @@ def make_attention_fn(cfg: LlamaConfig, li: int = 0) -> Callable:
     window = cfg.window_for(li)
     if window < 0 and cfg.attn_softcap == 0.0 and cfg.attn_scale is None:
         return default_attention
-    kwargs = dict(causal=True, softmax_scale=cfg.scale)
+    # Only pin the scale when the config overrides it — otherwise let the
+    # kernel derive 1/sqrt(D) from the tensors (callers may run tensors
+    # whose head dim differs from the config's).
+    kwargs = dict(causal=True)
+    if cfg.attn_scale is not None:
+        kwargs["softmax_scale"] = cfg.attn_scale
     if window >= 0:
         kwargs["window_size"] = (window, 0)
     if cfg.attn_softcap > 0.0:
