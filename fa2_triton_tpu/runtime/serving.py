@@ -382,6 +382,81 @@ class Engine:
             self._prefill_cache[key] = jax.jit(fn, donate_argnums=(4,))
         return self._prefill_cache[key]
 
+    def _get_prefill_batch(self, s_pad: int, N: int):
+        """Jitted BATCHED prefill: N same-bucket prompts in ONE dispatch
+        (one [N, s_pad] forward; per-slot cache writes loop inside the jit).
+        Through the ~25 ms/dispatch tunnel this multiplies admission
+        throughput; compiles are bounded by (bucket, N in {2,4}) keys."""
+        key = ("batch", s_pad, N)
+        if key not in self._prefill_cache:
+            if self.paged:
+                from fa2_triton_tpu.runtime.paged_cache import (
+                    write_tokens_paged,
+                )
+
+                def _prefill(params, tokens, true_len, pools, tables, slots,
+                             samp):
+                    logits, kvs = prefill_forward(
+                        params, tokens, true_len, self.cfg_local,
+                        psum_axis=self._psum_axis,
+                    )
+                    new_pools = pools
+                    for i in range(N):
+                        trow = jax.lax.dynamic_slice_in_dim(
+                            tables, slots[i], 1, 0)
+                        new_pools = [
+                            write_tokens_paged(
+                                pool, trow, k[i:i + 1], v[i:i + 1],
+                                jnp.zeros((1,), jnp.int32),
+                                self.kv_cfg_local)
+                            for pool, (k, v) in zip(new_pools, kvs)
+                        ]
+                    rows = jnp.take_along_axis(
+                        logits, (true_len - 1)[:, None, None], axis=1)[:, 0]
+                    toks, lps = sample_tokens_with_logprobs(rows, *samp)
+                    return (toks, lps), new_pools
+            else:
+                def _prefill(params, tokens, true_len, caches, slots, samp):
+                    logits, kvs = prefill_forward(
+                        params, tokens, true_len, self.cfg_local,
+                        psum_axis=self._psum_axis,
+                    )
+                    new_caches = caches
+                    for i in range(N):
+                        upd_caches = []
+                        for cache, (k, v) in zip(new_caches, kvs):
+                            upd = write_kv(
+                                cache_slice(cache, slots[i]),
+                                k[i:i + 1], v[i:i + 1],
+                                jnp.zeros((1,), jnp.int32),
+                                self.kv_cfg_local,
+                            )
+                            upd_caches.append(
+                                cache_write_back(cache, upd, slots[i]))
+                        new_caches = upd_caches
+                    rows = jnp.take_along_axis(
+                        logits, (true_len - 1)[:, None, None], axis=1)[:, 0]
+                    toks, lps = sample_tokens_with_logprobs(rows, *samp)
+                    return (toks, lps), new_caches
+
+            fn = _prefill
+            if self.tp > 1:
+                cspec = jax.tree.map(
+                    lambda _: self._cache_spec_leaf,
+                    self.pcache.pools if self.paged else self.caches,
+                )
+                in_specs = (
+                    (self._pspecs, P(), P(), cspec, P(), P(), (P(),) * 5)
+                    if self.paged
+                    else (self._pspecs, P(), P(), cspec, P(), (P(),) * 5)
+                )
+                fn = jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=((P(), P()), cspec), check_vma=False,
+                )
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._prefill_cache[key]
+
     def _get_chunk_prefill(self):
         """Jitted one-chunk prefill (fixed chunk width -> one compile)."""
         if "chunk" not in self._prefill_cache:
@@ -521,105 +596,187 @@ class Engine:
         self.queue.append(req)
         return req
 
+    def _finish_admission(self, slot: int, req: Request, next_tok, next_lp):
+        self.lens_np[slot] = len(req.prompt)
+        self.last_tokens = self.last_tokens.at[slot].set(next_tok)
+        req.out_tokens.append(int(next_tok))
+        req.out_logprobs.append(float(next_lp))
+        self.slot_req[slot] = req
+        self._set_slot_sampling(slot, req)
+        self._maybe_finish(slot)
+
+    def _admit_batch(self, group):
+        """One batched prefill dispatch for N same-bucket (slot, req) pairs."""
+        s_pad = max(64, next_power_of_2(len(group[0][1].prompt)))
+        N = len(group)
+        tokens = np.zeros((N, s_pad), np.int32)
+        for i, (_, req) in enumerate(group):
+            tokens[i, : len(req.prompt)] = req.prompt
+        true_len = jnp.asarray([len(r.prompt) for _, r in group], jnp.int32)
+        slots = jnp.asarray([s for s, _ in group], jnp.int32)
+        samp = (
+            jnp.asarray([r.sampling.temperature for _, r in group], jnp.float32),
+            jnp.asarray([r.sampling.top_k for _, r in group], jnp.int32),
+            jnp.asarray([r.sampling.top_p for _, r in group], jnp.float32),
+            jnp.asarray([np.uint32(r.sampling.seed) for _, r in group],
+                        jnp.uint32),
+            jnp.asarray([len(r.out_tokens) for _, r in group], jnp.int32),
+        )
+        fn = self._get_prefill_batch(s_pad, N)
+        if self.paged:
+            (toks, lps), self.pcache.pools = fn(
+                self.params, jnp.asarray(tokens), true_len,
+                self.pcache.pools, self.pcache.tables_device(), slots, samp)
+        else:
+            (toks, lps), self.caches = fn(
+                self.params, jnp.asarray(tokens), true_len, self.caches,
+                slots, samp)
+        toks_np, lps_np = np.asarray(toks), np.asarray(lps)
+        for i, (slot, req) in enumerate(group):
+            self.stats.prefill_tokens += len(req.prompt)
+            self._finish_admission(slot, req, toks_np[i], lps_np[i])
+
     def _admit(self):
+        # Same-bucket simple admissions are grouped into ONE batched prefill
+        # dispatch (N in {2, 4}); chunked, prefix-cache, and odd-one-out
+        # admissions take the single-slot paths. Prefix-cache mode admits
+        # sequentially so a request can hit pages registered by the one
+        # admitted just before it (same-wave duplicate prompts).
+        batchable: List = []
         for slot, occupant in enumerate(self.slot_req):
             if occupant is not None or not self.queue:
                 continue
             req = self.queue.pop(0)
-            if (self.prefill_chunk is not None
-                    and len(req.prompt) > self.prefill_chunk):
-                # Long prompt: claim the slot now, prefill chunk-by-chunk
-                # across subsequent steps (decode keeps running meanwhile).
-                assert len(req.prompt) <= self._max_seq_padded
-                start = 0
-                if self.paged and self.prefix_cache:
-                    n_cached, shared = self.pcache.match_prefix(req.prompt)
-                    if n_cached:
-                        self.pcache.attach(slot, shared)
-                        self.stats.prefix_cached_tokens += n_cached
-                        start = n_cached
-                self.slot_req[slot] = req
-                self._set_slot_sampling(slot, req)
-                self._prefilling[slot] = start
-                # The batched decode runs over ALL slots every step and
-                # writes each slot's new-token KV at its lens — a mid-prefill
-                # slot must park its write on the sacrificial tail row (real
-                # decodes never write there: requests finish when
-                # lens + 1 >= max_seq_padded, and any final chunk covering
-                # the tail row rewrites it before this slot re-enters
-                # decode). Parking at 0 would corrupt the freshly prefilled
-                # row 0 on every interleaved decode step. In PAGED mode the
-                # parked position's page is never allocated, so the write
-                # routes through table entry 0 — the reserved sacrificial
-                # page that nothing ever reads.
-                self.lens_np[slot] = self._max_seq_padded - 1
-                continue
-            s_pad = max(64, next_power_of_2(len(req.prompt)))
-            assert s_pad <= self._max_seq_padded
-            tokens = np.zeros((1, s_pad), np.int32)
-            tokens[0, : len(req.prompt)] = req.prompt
-            true_len = jnp.asarray([len(req.prompt)], jnp.int32)
-            if self.paged:
-                n_cached, shared = (
-                    self.pcache.match_prefix(req.prompt)
-                    if self.prefix_cache else (0, [])
-                )
-                if n_cached:
-                    # Prefix hit: attach the shared pages, prefill only the
-                    # suffix (its queries attend over the cached prefix).
-                    suffix = req.prompt[n_cached:]
-                    c_pad = max(128, next_power_of_2(len(suffix)))
-                    page = self.kv_cfg.page_size
-                    if n_cached + c_pad > self._max_seq_padded:
-                        c_pad = -(-len(suffix) // 128) * 128
-                    n_ctx_pages = -(-(n_cached + c_pad) // page)
-                    self.pcache.attach(slot, shared)
-                    try:
-                        self.pcache.ensure_capacity(slot, n_ctx_pages * page)
-                    except MemoryError:
-                        self.pcache.release(slot)
-                        self.queue.insert(0, req)
-                        return
-                    stoks = np.zeros((1, c_pad), np.int32)
-                    stoks[0, : len(suffix)] = suffix
-                    (next_tok, next_lp), self.pcache.pools = \
-                        self._get_suffix_prefill(c_pad, n_ctx_pages)(
-                            self.params, jnp.asarray(stoks),
-                            jnp.asarray([len(suffix)], jnp.int32),
-                            jnp.asarray([n_cached], jnp.int32),
-                            self.pcache.pools, self.pcache.tables_device(),
-                            slot, self._samp1(req),
-                        )
-                    self.stats.prefix_cached_tokens += n_cached
-                    self.stats.prefill_tokens += len(suffix)
-                else:
+            if (not self.prefix_cache
+                    and (self.prefill_chunk is None
+                         or len(req.prompt) <= self.prefill_chunk)):
+                if self.paged:
+                    s_pad = max(64, next_power_of_2(len(req.prompt)))
                     try:
                         self.pcache.ensure_capacity(slot, s_pad)
                     except MemoryError:
-                        self.queue.insert(0, req)  # retry when pages free up
-                        return
-                    (next_tok, next_lp), self.pcache.pools = \
-                        self._get_prefill(s_pad)(
-                            self.params, jnp.asarray(tokens), true_len,
-                            self.pcache.pools, self.pcache.tables_device(),
-                            slot, self._samp1(req),
-                        )
-                    self.stats.prefill_tokens += len(req.prompt)
-                if self.prefix_cache:
-                    self.pcache.register_prefix(slot, req.prompt)
-            else:
-                (next_tok, next_lp), self.caches = self._get_prefill(s_pad)(
-                    self.params, jnp.asarray(tokens), true_len, self.caches,
-                    slot, self._samp1(req),
-                )
-                self.stats.prefill_tokens += len(req.prompt)
-            self.lens_np[slot] = len(req.prompt)
-            self.last_tokens = self.last_tokens.at[slot].set(next_tok)
-            req.out_tokens.append(int(next_tok))
-            req.out_logprobs.append(float(next_lp))
+                        self.queue.insert(0, req)
+                        break  # flush what we already claimed
+                # Reserve the slot now (so this loop doesn't re-offer it);
+                # the batch flush fills in the real state.
+                self.slot_req[slot] = req
+                batchable.append((slot, req))
+                continue
+            self._admit_one(slot, req)
+        # Flush: group by bucket; pairs/quads batch, leftovers go single.
+        by_bucket: Dict[int, List] = {}
+        for slot, req in batchable:
+            by_bucket.setdefault(
+                max(64, next_power_of_2(len(req.prompt))), []).append(
+                    (slot, req))
+        for bucket, group in by_bucket.items():
+            while group:
+                n = 4 if len(group) >= 4 else (2 if len(group) >= 2 else 1)
+                head, group = group[:n], group[n:]
+                if n == 1:
+                    self._admit_one(*head[0], reserved=True)
+                else:
+                    self._admit_batch(head)
+
+    def _admit_one(self, slot, req, reserved: bool = False):
+        """Admit one request into `slot` (single-dispatch paths:
+        chunked claim, prefix-hit suffix prefill, plain prefill).
+        `reserved=True` means the admit loop already set
+        slot_req/ensured capacity (batch leftovers)."""
+        if (self.prefill_chunk is not None
+                and len(req.prompt) > self.prefill_chunk):
+            # Long prompt: claim the slot now, prefill chunk-by-chunk
+            # across subsequent steps (decode keeps running meanwhile).
+            assert len(req.prompt) <= self._max_seq_padded
+            start = 0
+            if self.paged and self.prefix_cache:
+                n_cached, shared = self.pcache.match_prefix(req.prompt)
+                if n_cached:
+                    self.pcache.attach(slot, shared)
+                    self.stats.prefix_cached_tokens += n_cached
+                    start = n_cached
             self.slot_req[slot] = req
             self._set_slot_sampling(slot, req)
-            self._maybe_finish(slot)
+            self._prefilling[slot] = start
+            # The batched decode runs over ALL slots every step and
+            # writes each slot's new-token KV at its lens — a mid-prefill
+            # slot must park its write on the sacrificial tail row (real
+            # decodes never write there: requests finish when
+            # lens + 1 >= max_seq_padded, and any final chunk covering
+            # the tail row rewrites it before this slot re-enters
+            # decode). Parking at 0 would corrupt the freshly prefilled
+            # row 0 on every interleaved decode step. In PAGED mode the
+            # parked position's page is never allocated, so the write
+            # routes through table entry 0 — the reserved sacrificial
+            # page that nothing ever reads.
+            self.lens_np[slot] = self._max_seq_padded - 1
+            return
+        s_pad = max(64, next_power_of_2(len(req.prompt)))
+        assert s_pad <= self._max_seq_padded
+        tokens = np.zeros((1, s_pad), np.int32)
+        tokens[0, : len(req.prompt)] = req.prompt
+        true_len = jnp.asarray([len(req.prompt)], jnp.int32)
+        if self.paged:
+            n_cached, shared = (
+                self.pcache.match_prefix(req.prompt)
+                if self.prefix_cache else (0, [])
+            )
+            if n_cached:
+                # Prefix hit: attach the shared pages, prefill only the
+                # suffix (its queries attend over the cached prefix).
+                suffix = req.prompt[n_cached:]
+                c_pad = max(128, next_power_of_2(len(suffix)))
+                page = self.kv_cfg.page_size
+                if n_cached + c_pad > self._max_seq_padded:
+                    c_pad = -(-len(suffix) // 128) * 128
+                n_ctx_pages = -(-(n_cached + c_pad) // page)
+                self.pcache.attach(slot, shared)
+                try:
+                    self.pcache.ensure_capacity(slot, n_ctx_pages * page)
+                except MemoryError:
+                    self.pcache.release(slot)
+                    self.queue.insert(0, req)
+                    return
+                stoks = np.zeros((1, c_pad), np.int32)
+                stoks[0, : len(suffix)] = suffix
+                (next_tok, next_lp), self.pcache.pools = \
+                    self._get_suffix_prefill(c_pad, n_ctx_pages)(
+                        self.params, jnp.asarray(stoks),
+                        jnp.asarray([len(suffix)], jnp.int32),
+                        jnp.asarray([n_cached], jnp.int32),
+                        self.pcache.pools, self.pcache.tables_device(),
+                        slot, self._samp1(req),
+                    )
+                self.stats.prefix_cached_tokens += n_cached
+                self.stats.prefill_tokens += len(suffix)
+            else:
+                try:
+                    self.pcache.ensure_capacity(slot, s_pad)
+                except MemoryError:
+                    self.queue.insert(0, req)  # retry when pages free up
+                    return
+                (next_tok, next_lp), self.pcache.pools = \
+                    self._get_prefill(s_pad)(
+                        self.params, jnp.asarray(tokens), true_len,
+                        self.pcache.pools, self.pcache.tables_device(),
+                        slot, self._samp1(req),
+                    )
+                self.stats.prefill_tokens += len(req.prompt)
+            if self.prefix_cache:
+                self.pcache.register_prefix(slot, req.prompt)
+        else:
+            (next_tok, next_lp), self.caches = self._get_prefill(s_pad)(
+                self.params, jnp.asarray(tokens), true_len, self.caches,
+                slot, self._samp1(req),
+            )
+            self.stats.prefill_tokens += len(req.prompt)
+        self.lens_np[slot] = len(req.prompt)
+        self.last_tokens = self.last_tokens.at[slot].set(next_tok)
+        req.out_tokens.append(int(next_tok))
+        req.out_logprobs.append(float(next_lp))
+        self.slot_req[slot] = req
+        self._set_slot_sampling(slot, req)
+        self._maybe_finish(slot)
 
     def _maybe_finish(self, slot: int):
         req = self.slot_req[slot]

@@ -228,3 +228,26 @@ def test_per_request_stop_ids(params):
     eng2.run()
     assert stopped.out_tokens == free_run.out_tokens[:4]
     assert other.out_tokens == free_run.out_tokens
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batched_admission_matches_sequential(params, paged):
+    """Same-bucket prompts admitted in ONE batched prefill dispatch must
+    produce exactly the tokens of one-at-a-time admission."""
+    rng = np.random.RandomState(11)
+    prompts = [rng.randint(0, CFG.vocab_size, size=n).tolist()
+               for n in (9, 12, 10, 11, 33, 40)]
+
+    eng1 = Engine(params, CFG, n_slots=1, max_seq=256, paged=paged)
+    seq = [eng1.submit(p, max_new_tokens=3) for p in prompts]
+    eng1.run()
+
+    engN = Engine(params, CFG, n_slots=8, max_seq=256, paged=paged)
+    bat = [engN.submit(p, max_new_tokens=3) for p in prompts]
+    engN.run()
+    assert [r.out_tokens for r in bat] == [r.out_tokens for r in seq]
+    # The batch path actually ran: a ("batch", bucket, N) program compiled
+    # (four 16-bucket prompts -> N=4, two 64-bucket -> N=2).
+    keys = [k for k in engN._prefill_cache if isinstance(k, tuple)
+            and k[0] == "batch"]
+    assert ("batch", 64, 4) in keys and ("batch", 64, 2) in keys, keys
