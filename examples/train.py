@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--data", default=None, metavar="FILE",
                     help="flat binary token corpus (utils/data.py); "
                          "synthetic random tokens when omitted")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=0, metavar="STEPS",
+                    help="linear warmup then cosine decay to lr/10 over "
+                         "--steps (0 = constant lr)")
+    ap.add_argument("--grad-clip", type=float, default=1.0, metavar="NORM",
+                    help="global-norm gradient clipping (0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +83,19 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg)
     specs = fsdp_param_pspecs(params, mesh) if args.fsdp else None
     params = shard_params(params, mesh, specs=specs)
-    opt = optax.adamw(3e-4, weight_decay=0.01)
+    # Always a SCHEDULE (constant when no warmup) and always the clip link
+    # (inf norm = off): the optimizer state tree shape stays invariant
+    # across flag choices, so any train.py checkpoint restores into any
+    # other run's (or examples/eval.py's) reconstruction.
+    lr = (optax.warmup_cosine_decay_schedule(
+              0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1),
+              end_value=args.lr / 10)
+          if args.warmup else optax.constant_schedule(args.lr))
+    opt = optax.chain(
+        optax.clip_by_global_norm(
+            args.grad_clip if args.grad_clip > 0 else float("inf")),
+        optax.adamw(lr, weight_decay=0.01),
+    )
     state = {"params": params, "opt": opt.init(params), "step": jnp.int32(0)}
 
     # Give every leaf an explicit mesh sharding (scalars like the adam step
