@@ -73,6 +73,10 @@ class PagedKVCache:
         self._free: List[int] = list(range(cfg.n_pages - 1, 0, -1))
         self._tables = np.zeros((cfg.n_slots, cfg.max_pages_per_slot), np.int32)
         self._slot_pages: List[List[int]] = [[] for _ in range(cfg.n_slots)]
+        # Leading logical pages already released behind a sliding window
+        # (`release_prefix`): logical page i >= _slot_freed[slot] lives at
+        # _slot_pages[i - _slot_freed[slot]].
+        self._slot_freed: List[int] = [0] * cfg.n_slots
         self._tables_dev: Optional[jax.Array] = None
         # Prefix-cache state: per-page refcounts; chain-hash -> page for full
         # registered pages; page -> chain-hash (for eviction unregister); and
@@ -110,10 +114,11 @@ class PagedKVCache:
         need = -(-n_tokens // self.cfg.page_size)
         assert need <= self.cfg.max_pages_per_slot, (n_tokens, "exceeds max_seq")
         pages = self._slot_pages[slot]
-        while len(pages) < need:
+        freed = self._slot_freed[slot]
+        while freed + len(pages) < need:
             page = self._alloc_page()
             self._refs[page] = 1
-            self._tables[slot, len(pages)] = page
+            self._tables[slot, freed + len(pages)] = page
             pages.append(page)
             self._tables_dev = None
 
@@ -129,7 +134,33 @@ class PagedKVCache:
                 else:
                     self._free.append(page)
         self._slot_pages[slot] = []
+        self._slot_freed[slot] = 0
         self._tables[slot] = 0
+        self._tables_dev = None
+
+    def release_prefix(self, slot: int, n_logical_pages: int) -> None:
+        """Release the slot's leading logical pages (sliding-window serving:
+        pages entirely behind the window are never read again — the decode
+        kernels clamp their first block to the window — so their memory
+        returns to the pool while the sequence keeps generating). Their
+        table entries point at the reserved page 0 afterwards. Registered
+        (prefix-cache) pages stay resident via the usual ref-0 LRU path."""
+        freed = self._slot_freed[slot]
+        drop = n_logical_pages - freed
+        if drop <= 0:
+            return
+        assert drop <= len(self._slot_pages[slot])
+        for i, page in enumerate(self._slot_pages[slot][:drop]):
+            self._refs[page] -= 1
+            if self._refs[page] == 0:
+                if page in self._page_hash:
+                    self._cached_free[page] = None
+                    self._cached_free.move_to_end(page)
+                else:
+                    self._free.append(page)
+            self._tables[slot, freed + i] = 0
+        self._slot_pages[slot] = self._slot_pages[slot][drop:]
+        self._slot_freed[slot] = n_logical_pages
         self._tables_dev = None
 
     # ------------------------- prefix caching ----------------------------
@@ -159,7 +190,8 @@ class PagedKVCache:
         """Point an EMPTY slot's table at shared prefix pages (refcounted).
         The slot must only write at positions >= len(pages)*page_size, which
         the engine guarantees: its suffix prefill starts exactly there."""
-        assert not self._slot_pages[slot], "attach requires an empty slot"
+        assert not self._slot_pages[slot] and not self._slot_freed[slot], \
+            "attach requires an empty slot"
         for i, page in enumerate(pages):
             self._tables[slot, i] = page
             self._refs[page] += 1
@@ -171,10 +203,13 @@ class PagedKVCache:
         """After `slot` holds valid KV for `tokens[0:len(tokens))`, publish
         its full pages into the prefix cache (first writer wins per hash)."""
         P = self.cfg.page_size
+        freed = self._slot_freed[slot]
         h = b""
         for i in range(len(tokens) // P):
             h = self._chunk_hash(h, tokens[i * P:(i + 1) * P])
-            page = self._slot_pages[slot][i]
+            if i < freed:  # window-released page: keep hashing, can't publish
+                continue
+            page = self._slot_pages[slot][i - freed]
             if h not in self._hash_to_page and page not in self._page_hash:
                 self._hash_to_page[h] = page
                 self._page_hash[page] = h

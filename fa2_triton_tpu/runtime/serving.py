@@ -828,6 +828,18 @@ class Engine:
         if not active:
             return bool(self._prefilling)
         if self.paged:
+            # Sliding-window models (ALL layers windowed): pages entirely
+            # behind the window are dead — the decode kernel's first-block
+            # clamp never reads them — so return them to the pool while the
+            # sequence keeps generating (the paged form of Mistral's rolling
+            # buffer: live KV memory is O(window), not O(sequence)).
+            w = self.cfg.sliding_window
+            if w >= 0 and not self.cfg.alt_window:
+                page = self.kv_cfg.page_size
+                for s in active:
+                    behind = int(self.lens_np[s]) - w
+                    if behind > 0:
+                        self.pcache.release_prefix(s, behind // page)
             for s in list(active):
                 if self.slot_req[s] is None:  # preempted earlier this step
                     continue

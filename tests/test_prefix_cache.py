@@ -215,3 +215,33 @@ def test_paged_chunked_prefill_composes_with_prefix_cache(params):
     assert r2.out_tokens == r1.out_tokens
     # 2 full pages (256 tokens) of the 300-token prompt came from the cache.
     assert eng.stats.prefix_cached_tokens == 256
+
+
+def test_sliding_window_frees_dead_pages():
+    """Windowed models (all layers): pages entirely behind the window return
+    to the pool mid-generation (rolling-buffer memory), with token parity
+    against the contiguous-cache engine."""
+    import dataclasses
+
+    cfg_w = dataclasses.replace(CFG, sliding_window=64)
+    params_w = init_params(jax.random.PRNGKey(1), cfg_w)
+    rng = np.random.RandomState(10)
+    prompt = rng.randint(0, CFG.vocab_size, size=250).tolist()
+
+    ref_eng = Engine(params_w, cfg_w, n_slots=1, max_seq=512)
+    ref = ref_eng.submit(prompt, max_new_tokens=10)
+    ref_eng.run()
+
+    eng = Engine(params_w, cfg_w, n_slots=1, max_seq=512, paged=True,
+                 page_size=128)
+    req = eng.submit(prompt, max_new_tokens=10)
+    free_seen = []
+    while not req.done:
+        eng.step()
+        free_seen.append(eng.pcache.free_pages)
+    assert req.out_tokens == ref.out_tokens
+    # Prefill allocated ceil(256/128)=2 pages; the first decode step frees
+    # page 0 (tokens 0..127 are all behind the 64-token window at lens=250).
+    total = eng.pcache.cfg.n_pages - 1
+    assert free_seen[0] == total - 1, free_seen  # one live page remains +1 new
+    assert eng.pcache._slot_freed == [0]  # released on completion
