@@ -245,3 +245,60 @@ def test_sliding_window_frees_dead_pages():
     total = eng.pcache.cfg.n_pages - 1
     assert free_seen[0] == total - 1, free_seen  # one live page remains +1 new
     assert eng.pcache._slot_freed == [0]  # released on completion
+
+
+def test_gemma2_style_knobs_compose_with_prefix_cache():
+    """Alternating windows + attention softcap + post-norms + prefix caching
+    + paged serving, all at once: warm tokens == cold tokens, and no pages
+    are window-freed (alt_window models have full-attention layers that
+    still need the whole history)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, sliding_window=63, alt_window=True, attn_softcap=30.0,
+        attn_scale=0.2)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    for layer in params["layers"]:
+        layer["post_attn_norm"] = jnp.ones((cfg.dim,), jnp.float32)
+        layer["post_mlp_norm"] = jnp.ones((cfg.dim,), jnp.float32)
+    rng = np.random.RandomState(12)
+    prompt = rng.randint(0, CFG.vocab_size, size=200).tolist()
+
+    def run(prefix_cache):
+        eng = Engine(params, cfg, n_slots=2, max_seq=512, paged=True,
+                     page_size=128, prefix_cache=prefix_cache)
+        reqs = [eng.submit(prompt, max_new_tokens=4) for _ in range(2)]
+        eng.run()
+        return eng, [r.out_tokens for r in reqs]
+
+    _, cold = run(False)
+    eng, warm = run(True)
+    assert warm == cold
+    assert eng.stats.prefix_cached_tokens == 128
+    assert eng.pcache._slot_freed == [0, 0]  # alt_window: nothing freed
+
+
+def test_moe_through_paged_engine_with_prefix_cache():
+    """MoE layer pytrees served through the paged engine with prefix caching
+    (the dense batch-invariant MLP path + shared attention pages)."""
+    from fa2_triton_tpu.models import moe
+
+    mcfg = moe.MoEConfig(
+        vocab_size=128, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        hidden_dim=128, max_seq_len=512, dtype=jnp.float32,
+        n_experts=4, top_k=2)
+    mparams = moe.init_params(jax.random.PRNGKey(3), mcfg)
+    rng = np.random.RandomState(13)
+    prompt = rng.randint(0, 128, size=150).tolist()
+
+    def run(**kw):
+        eng = Engine(mparams, mcfg, n_slots=2, max_seq=512, paged=True,
+                     page_size=128, **kw)
+        reqs = [eng.submit(prompt, max_new_tokens=4) for _ in range(2)]
+        eng.run()
+        return eng, [r.out_tokens for r in reqs]
+
+    _, cold = run()
+    eng, warm = run(prefix_cache=True)
+    assert warm == cold
+    assert eng.stats.prefix_cached_tokens == 128
