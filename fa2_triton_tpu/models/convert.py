@@ -55,6 +55,24 @@ def _rope_factors_from_hf(hf_config):
             float(rs["original_max_position_embeddings"]))
 
 
+def _window_pattern_from_hf(hf_config):
+    """Per-layer sliding flags. Qwen2's first `max_window_layers` layers run
+    FULL attention even when use_sliding_window=True (HF `layer_types`);
+    None when every layer is uniform (the common case)."""
+    if not (getattr(hf_config, "sliding_window", None)
+            and getattr(hf_config, "use_sliding_window", True)):
+        return None
+    lt = getattr(hf_config, "layer_types", None)
+    if lt is not None:
+        pattern = tuple(t == "sliding_attention" for t in lt)
+    else:
+        mwl = getattr(hf_config, "max_window_layers",
+                      hf_config.num_hidden_layers)
+        pattern = tuple(i >= mwl
+                        for i in range(hf_config.num_hidden_layers))
+    return None if all(pattern) else pattern
+
+
 def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
@@ -86,6 +104,7 @@ def llama_config_from_hf(hf_config, dtype=jnp.float32) -> LlamaConfig:
             and getattr(hf_config, "use_sliding_window", True)
             else -1
         ),
+        window_pattern=_window_pattern_from_hf(hf_config),
     )
 
 
@@ -205,6 +224,18 @@ def phi3_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]
     return params, cfg
 
 
+def _gemma_act(hc) -> str:
+    """Map HF hidden_activation ('gelu_pytorch_tanh' vs exact 'gelu') to
+    the model's activation modes; raise LOUDLY on anything else."""
+    act = getattr(hc, "hidden_activation", None) or getattr(
+        hc, "hidden_act", "gelu_pytorch_tanh")
+    table = {"gelu_pytorch_tanh": "gelu_tanh", "gelu_new": "gelu_tanh",
+             "gelu": "gelu"}
+    if act not in table:
+        raise NotImplementedError(f"unsupported gemma activation: {act!r}")
+    return table[act]
+
+
 def gemma_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
     """Convert a `transformers.GemmaForCausalLM` to the LLaMA-family pytree.
 
@@ -229,7 +260,7 @@ def gemma_params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig
         norm_eps=float(hc.rms_norm_eps),
         max_seq_len=hc.max_position_embeddings,
         dtype=dtype,
-        hidden_act="gelu_tanh",
+        hidden_act=_gemma_act(hc),
         logit_softcap=float(getattr(hc, "final_logit_softcapping", 0.0)
                             or 0.0),
     )
@@ -294,7 +325,7 @@ def gemma2_params_from_hf(model, dtype=jnp.bfloat16
         norm_eps=float(hc.rms_norm_eps),
         max_seq_len=hc.max_position_embeddings,
         dtype=dtype,
-        hidden_act="gelu_tanh",
+        hidden_act=_gemma_act(hc),
         # HF counts the attending token inside the window; window_left
         # counts previous tokens only (verified vs HF eager at the boundary).
         sliding_window=int(hc.sliding_window) - 1,

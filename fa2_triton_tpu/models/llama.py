@@ -64,6 +64,10 @@ class LlamaConfig:
     attn_softcap: float = 0.0
     attn_scale: Optional[float] = None
     alt_window: bool = False
+    # Fully general per-layer windowing (True = that layer slides): takes
+    # precedence over alt_window. Qwen2's max_window_layers maps here (the
+    # FIRST max_window_layers layers are full attention in HF).
+    window_pattern: Optional[Tuple[bool, ...]] = None
     # Llama-3.x RoPE frequency scaling: (factor, low_freq_factor,
     # high_freq_factor, original_max_position_embeddings), applied to
     # inv_freq exactly as HF's `_compute_llama3_parameters`. None = vanilla
@@ -87,9 +91,19 @@ class LlamaConfig:
 
     def window_for(self, li: int) -> int:
         """Effective sliding window for layer `li` (-1 = full causal)."""
-        if self.sliding_window < 0 or (self.alt_window and li % 2 == 1):
+        if self.sliding_window < 0:
+            return -1
+        if self.window_pattern is not None:
+            return self.sliding_window if self.window_pattern[li] else -1
+        if self.alt_window and li % 2 == 1:
             return -1
         return self.sliding_window
+
+    @property
+    def uniform_window(self) -> bool:
+        """True when every layer has the same window (scan-able layers)."""
+        return (self.window_pattern is None and not self.alt_window) or \
+            len({self.window_for(i) for i in range(self.n_layers)}) == 1
 
 
 Params = Dict[str, Any]
@@ -239,8 +253,9 @@ def _mlp_block(layer: Params, x: jax.Array, cfg: LlamaConfig,
 
         return moe_mlp_dense(layer, x, cfg)[0]
     h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-    act = (jax.nn.silu if cfg.hidden_act == "silu"
-           else partial(jax.nn.gelu, approximate=True))
+    act = {"silu": jax.nn.silu,
+           "gelu_tanh": partial(jax.nn.gelu, approximate=True),
+           "gelu": partial(jax.nn.gelu, approximate=False)}[cfg.hidden_act]
     gated = act(_mm(h, layer["w_gate"])) * _mm(h, layer["w_up"])
     out = _psum(_mm(gated, layer["w_down"]), psum_axis)
     if "post_mlp_norm" in layer:    # Gemma2 (post-norm AFTER the TP psum)

@@ -237,21 +237,22 @@ def forward(
 ):
     """Training forward -> logits [B, S, vocab] (fp32), optionally with the
     summed router aux loss."""
-    if attention_fn is None:
-        attention_fn = make_attention_fn(cfg)
     B, S = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     cos, sin = rope_cos_sin(positions, cfg.hd, cfg.rope_theta, cfg.rope_factors)
-    def block(layer, x):
-        x, _ = _attention_block(layer, x, cfg, cos, sin, attention_fn)
+
+    def block(layer, x, fn):
+        x, _ = _attention_block(layer, x, cfg, cos, sin, fn)
         return mlp_fn(layer, x, cfg)
 
     if cfg.remat:
-        block = jax.checkpoint(block)
+        block = jax.checkpoint(block, static_argnums=(2,))
     aux = jnp.float32(0.0)
-    for layer in params["layers"]:
-        x, a = block(layer, x)
+    for li, layer in enumerate(params["layers"]):
+        fn = attention_fn if attention_fn is not None \
+            else make_attention_fn(cfg, li)
+        x, a = block(layer, x, fn)
         aux = aux + a
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)

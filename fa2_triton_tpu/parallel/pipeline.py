@@ -115,6 +115,11 @@ def make_llama_pipeline_forward(
         rope_cos_sin,
     )
 
+    # Layers run under lax.scan (one traced body for every layer), so
+    # per-layer attention specialization is impossible here — refuse
+    # non-uniform window configs loudly instead of silently mis-masking.
+    assert getattr(cfg, "uniform_window", True), \
+        "pipeline stages scan layers: alternating/per-layer windows unsupported"
     attn_fn = attention_fn or make_attention_fn(cfg)
     n_stages = int(mesh.shape[AXIS_PIPE])
     assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
@@ -197,8 +202,14 @@ def make_llama_3d_forward(
     assert cfg.n_layers % n_stages == 0, (cfg.n_layers, n_stages)
     assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
         (cfg.n_heads, cfg.n_kv_heads, tp)
+    assert getattr(cfg, "uniform_window", True), \
+        "pipeline stages scan layers: alternating/per-layer windows unsupported"
     hq, hkv = cfg.n_heads // tp, cfg.n_kv_heads // tp
     window = (cfg.sliding_window, 0) if cfg.sliding_window >= 0 else (-1, -1)
+    attn_kw = dict(causal=True, window_size=window,
+                   softcap=getattr(cfg, "attn_softcap", 0.0))
+    if getattr(cfg, "attn_scale", None) is not None:
+        attn_kw["softmax_scale"] = cfg.attn_scale
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def stage_fn(local_layers: Params, x: jax.Array) -> jax.Array:
@@ -225,7 +236,7 @@ def make_llama_3d_forward(
             q = apply_rope(q, cs, sn)
             k = apply_rope(k, cs, sn)
             v = v.reshape(mb, S, hkv, cfg.hd)
-            attn = flash_attn_func(q, k, v, causal=True, window_size=window)
+            attn = flash_attn_func(q, k, v, **attn_kw)
             x = x + psum_tp(attn.reshape(mb, S, hq * cfg.hd) @ layer["wo"])
             h2 = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
             gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])

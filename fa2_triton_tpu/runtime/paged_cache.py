@@ -130,7 +130,6 @@ class PagedKVCache:
             if self._refs[page] == 0:
                 if page in self._page_hash:
                     self._cached_free[page] = None
-                    self._cached_free.move_to_end(page)
                 else:
                     self._free.append(page)
         self._slot_pages[slot] = []
@@ -155,7 +154,6 @@ class PagedKVCache:
             if self._refs[page] == 0:
                 if page in self._page_hash:
                     self._cached_free[page] = None
-                    self._cached_free.move_to_end(page)
                 else:
                     self._free.append(page)
             self._tables[slot, freed + i] = 0

@@ -400,17 +400,16 @@ class Engine:
                         params, tokens, true_len, self.cfg_local,
                         psum_axis=self._psum_axis,
                     )
-                    new_pools = pools
-                    for i in range(N):
-                        trow = jax.lax.dynamic_slice_in_dim(
-                            tables, slots[i], 1, 0)
-                        new_pools = [
-                            write_tokens_paged(
-                                pool, trow, k[i:i + 1], v[i:i + 1],
-                                jnp.zeros((1,), jnp.int32),
-                                self.kv_cfg_local)
-                            for pool, (k, v) in zip(new_pools, kvs)
-                        ]
+                    # One batched scatter per layer: the N slots' table
+                    # rows gather to [N, max_pages] and write_tokens_paged
+                    # handles B == N directly.
+                    trows = jnp.take(tables, slots, axis=0)
+                    zeros = jnp.zeros((N,), jnp.int32)
+                    new_pools = [
+                        write_tokens_paged(pool, trows, k, v, zeros,
+                                           self.kv_cfg_local)
+                        for pool, (k, v) in zip(pools, kvs)
+                    ]
                     rows = jnp.take_along_axis(
                         logits, (true_len - 1)[:, None, None], axis=1)[:, 0]
                     toks, lps = sample_tokens_with_logprobs(rows, *samp)
@@ -650,8 +649,10 @@ class Engine:
             if (not self.prefix_cache
                     and (self.prefill_chunk is None
                          or len(req.prompt) <= self.prefill_chunk)):
+                s_pad = max(64, next_power_of_2(len(req.prompt)))
+                assert s_pad <= self._max_seq_padded, \
+                    (len(req.prompt), "prompt exceeds max_seq")
                 if self.paged:
-                    s_pad = max(64, next_power_of_2(len(req.prompt)))
                     try:
                         self.pcache.ensure_capacity(slot, s_pad)
                     except MemoryError:
@@ -982,6 +983,7 @@ class DataParallelEngine:
         for e in self.engines:
             agg.prefill_tokens += e.stats.prefill_tokens
             agg.decode_tokens += e.stats.decode_tokens
+            agg.prefix_cached_tokens += e.stats.prefix_cached_tokens
             agg.decode_steps = max(agg.decode_steps, e.stats.decode_steps)
         return agg
 

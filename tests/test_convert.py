@@ -388,3 +388,26 @@ def test_phi3_logits_and_decode_parity_vs_transformers():
 
     ours_dec = greedy_reference(params, cfg, prompt, n_new, max_seq=128)
     assert ours_dec == hf_out, (ours_dec, hf_out)
+
+
+def test_qwen2_max_window_layers_gating():
+    """Qwen2 with use_sliding_window=True applies FULL attention to the
+    first max_window_layers layers (HF layer_types); the converter maps this
+    to LlamaConfig.window_pattern and logits match HF past the window."""
+    torch.manual_seed(47)
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+        use_sliding_window=True, sliding_window=32, max_window_layers=2,
+    )
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    params, cfg = llama_params_from_hf(model, dtype=jnp.float32)
+    assert cfg.window_pattern == (False, False, True, True)
+    assert cfg.window_for(0) == -1 and cfg.window_for(2) == 31
+    ids = np.random.RandomState(22).randint(0, 128, size=(2, 70))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(forward(params, jnp.asarray(ids, jnp.int32), cfg))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=2e-3)
