@@ -1376,7 +1376,8 @@ def flash_attn_backward(
         # for causal shapes whose strip fits VMEM.
         if (bwd_causal_strip_ok(causal, static_skip, window, None, varlen,
                                 softcap, Sq, Sk, _sq, _sk, head_dim=D)
-                and not os.environ.get("FA2_DISABLE_STRIP")):
+                and os.environ.get("FA2_DISABLE_STRIP", "0").lower()
+                not in ("1", "true", "yes")):
             sub_s, wide_s = 512, 4  # v5e-swept default
             ov = autotune_lookup("strip_bwd", True, D, Sk)
             if ov is not None:

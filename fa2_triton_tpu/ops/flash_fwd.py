@@ -856,7 +856,8 @@ def flash_attn_forward(
     # the strip fits VMEM.
     ok_strip = (causal_strip_ok(causal, static_skip, window, bias, varlen,
                                 Sq, Sk, sq_real, sk_real, head_dim=D)
-                and not os.environ.get("FA2_DISABLE_STRIP"))
+                and os.environ.get("FA2_DISABLE_STRIP", "0").lower()
+                not in ("1", "true", "yes"))
     if causal_strip if causal_strip is not None else ok_strip:
         assert ok_strip, "causal_strip forced but preconditions not met"
         # v5e-swept default; a persisted per-chip table (bench.py --tune)

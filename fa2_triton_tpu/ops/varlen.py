@@ -192,18 +192,20 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
 def _packed_dropout_bits(work_ref, seed_ref, i, h_q, block_q, block_kv, T):
     """Keep-bits for one tile of the packed dropout stream.
 
-    The stream counter is the GLOBAL PACKED coordinate
-    `(h * T + row_packed) * T + col_packed` (uint32, wrapping) — segments
-    occupy disjoint packed positions, so uniqueness per (head, q, kv) pair
-    holds with no per-segment strides; the oracle regenerates the identical
-    mask from the same formula (tests/test_varlen_packed.py)."""
+    The stream is a CHAINED counter hash over the GLOBAL PACKED coordinates:
+    hash(hash(hash(seed, h), row_packed), col_packed). Chaining (a PRF
+    composition) rather than flattening `(h*T + row)*T + col` keeps streams
+    distinct for ANY packed total — the flat uint32 form collides once
+    Hq*T^2 wraps 2^32 (at T = 65536 every head would share one mask). The
+    oracle regenerates the identical mask from the same composition
+    (tests/test_varlen_packed.py)."""
     row_gp = (work_ref[i, 0] * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_kv), 0)).astype(jnp.uint32)
     col_gp = (work_ref[i, 1] * block_kv + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_kv), 1)).astype(jnp.uint32)
-    flat = (h_q.astype(jnp.uint32) * jnp.uint32(T) + row_gp) \
-        * jnp.uint32(T) + col_gp
-    return counter_hash_uint32(seed_ref[0].astype(jnp.uint32), flat)
+    s_h = counter_hash_uint32(seed_ref[0].astype(jnp.uint32),
+                              h_q.astype(jnp.uint32))
+    return counter_hash_uint32(counter_hash_uint32(s_h, row_gp), col_gp)
 
 
 def _varlen_fwd_kernel(

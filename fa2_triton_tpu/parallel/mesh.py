@@ -146,18 +146,31 @@ def fsdp_param_pspecs(params, mesh: Optional[Mesh] = None,
     `mesh` to honor divisibility; replicates when none divides); small
     leaves (norms, scalars) stay replicated — sharding them costs more in
     collective latency than the bytes saved.
+
+    COMPOSES with tensor parallelism: when the mesh has a `model` axis > 1,
+    each weight keeps its Megatron spec (`_TP_TABLE`) and the data axis
+    shards a remaining free dim — ZeRO-3 over the TP shards, not instead of
+    them.
     """
     n = int(mesh.shape[axis]) if mesh is not None else None
+    tp = int(mesh.shape.get(AXIS_MODEL, 1)) if mesh is not None else 1
+    tp_table = dict(_TP_TABLE, lm_head=P(None, AXIS_MODEL)) if tp > 1 else {}
 
     def spec(path, leaf):
+        base = _spec_from_path(path, tp_table) if tp > 1 else P()
         if leaf.ndim < 1 or leaf.size < min_size:
-            return P()
+            return base
         dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
         for d in dims:
+            if len(base) > d and base[d] is not None:
+                continue  # dim already TP-sharded
+            # Divisibility applies to the LOCAL (TP-sharded leaf) extent,
+            # which equals the global extent on non-TP dims.
             if n is None or leaf.shape[d] % n == 0:
-                out = [None] * leaf.ndim
+                out = [base[i] if i < len(base) else None
+                       for i in range(leaf.ndim)]
                 out[d] = axis
                 return P(*out)
-        return P()
+        return base
 
     return jax.tree_util.tree_map_with_path(spec, params)

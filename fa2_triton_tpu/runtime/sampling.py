@@ -65,7 +65,10 @@ def adjust_logits_row(logits, temp, top_k, top_p):
     # draw flip on 1e-6 logit noise, e.g. between TP and single-device).
     thresh = jnp.minimum(top_p, csum[-1])
     cutoff = sp[jnp.argmax(csum >= thresh)]
-    return jnp.where(probs >= cutoff, scaled, -jnp.inf)
+    # top_p >= 1.0 means OFF exactly: float cumsum can also OVERSHOOT 1.0
+    # mid-vector, which would truncate genuinely-sampleable tail tokens.
+    return jnp.where(jnp.logical_or(top_p >= 1.0, probs >= cutoff),
+                     scaled, -jnp.inf)
 
 
 def _sample_row(logits, temp, top_k, top_p, key):
@@ -97,5 +100,13 @@ def sample_tokens_with_logprobs(logits, temps, top_ks, top_ps, seeds, steps):
     distribution (temperature/truncation-independent — the scoring
     convention: what the model assigned, not what the sampler reshaped)."""
     toks = sample_tokens(logits, temps, top_ks, top_ps, seeds, steps)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return toks, jnp.take_along_axis(logp, toks[:, None], axis=-1)[:, 0]
+
+
+def greedy_tokens_with_logprobs(logits):
+    """Argmax per row + the chosen token's raw-model logprob — the decode
+    fast path when every active request is greedy (no sorts, no RNG)."""
+    toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return toks, jnp.take_along_axis(logp, toks[:, None], axis=-1)[:, 0]

@@ -27,7 +27,8 @@ from fa2_triton_tpu.models.llama import (
 )
 from fa2_triton_tpu.runtime.kv_cache import KVCacheConfig, init_cache, write_kv
 from fa2_triton_tpu.runtime.sampling import (
-    GREEDY, SamplingParams, sample_tokens_with_logprobs,
+    GREEDY, SamplingParams, greedy_tokens_with_logprobs,
+    sample_tokens_with_logprobs,
 )
 from fa2_triton_tpu.utils import next_power_of_2
 
@@ -210,38 +211,54 @@ class Engine:
         # params ride as a jit ARGUMENT (not a closure constant — closed-over
         # params would be baked into the HLO as literals, ballooning the
         # program past remote-compile limits).
-        decode_fn = self._decode_impl_paged if paged else self._decode_impl
-        if self.tp > 1:
-            n_extra = 2 if paged else 1  # (pools, tables) vs (caches)
-            cspec = jax.tree.map(lambda _: self._cache_spec_leaf,
-                                 self.pcache.pools if paged else self.caches)
-            in_specs = (self._pspecs, P(), cspec) + (P(),) * n_extra \
-                + ((P(),) * 5,)
-            decode_fn = jax.shard_map(
-                decode_fn, mesh=self.mesh,
-                in_specs=in_specs, out_specs=((P(), P()), cspec),
-                check_vma=False,  # pallas_call outputs cannot carry vma annotations
-            )
-        self._decode = jax.jit(decode_fn, donate_argnums=(2,))
+        def build_decode(greedy):
+            fn = partial(self._decode_impl_paged if paged
+                         else self._decode_impl, greedy=greedy)
+            if self.tp > 1:
+                n_extra = 2 if paged else 1  # (pools, tables) vs (caches)
+                cspec = jax.tree.map(
+                    lambda _: self._cache_spec_leaf,
+                    self.pcache.pools if paged else self.caches)
+                in_specs = (self._pspecs, P(), cspec) + (P(),) * n_extra \
+                    + ((P(),) * 5,)
+                fn = jax.shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=in_specs, out_specs=((P(), P()), cspec),
+                    check_vma=False,  # pallas outputs carry no vma annotations
+                )
+            return jax.jit(fn, donate_argnums=(2,))
+
+        # Two decode programs: the greedy-only fast path skips the sampling
+        # machinery (two [B, V] sorts + cumsum + categorical per step) —
+        # greedy is the engine default, so most decode steps take it. The
+        # host picks per step from its sampling-params mirror.
+        self._decode = build_decode(False)
+        self._decode_greedy = build_decode(True)
         self._prefill_cache: Dict[int, Any] = {}
 
     # ---------------- jitted device functions ---------------------------
 
-    def _decode_impl(self, params, tokens, caches, lens, samp):
+    def _decode_impl(self, params, tokens, caches, lens, samp,
+                     greedy=False):
         logits, caches = decode_step(
             params, tokens, self.cfg_local, caches, lens, self.kv_cfg_local,
             psum_axis=self._psum_axis,
         )
-        return sample_tokens_with_logprobs(logits, *samp), caches
+        sample = (greedy_tokens_with_logprobs(logits) if greedy
+                  else sample_tokens_with_logprobs(logits, *samp))
+        return sample, caches
 
-    def _decode_impl_paged(self, params, tokens, pools, tables, lens, samp):
+    def _decode_impl_paged(self, params, tokens, pools, tables, lens, samp,
+                           greedy=False):
         from fa2_triton_tpu.models.llama import paged_decode_step
 
         logits, pools = paged_decode_step(
             params, tokens, self.cfg_local, pools, tables, lens,
             self.kv_cfg_local, psum_axis=self._psum_axis,
         )
-        return sample_tokens_with_logprobs(logits, *samp), pools
+        sample = (greedy_tokens_with_logprobs(logits) if greedy
+                  else sample_tokens_with_logprobs(logits, *samp))
+        return sample, pools
 
     def _get_prefill(self, s_pad: int):
         if s_pad not in self._prefill_cache:
@@ -865,14 +882,20 @@ class Engine:
             active = [s for s in active if self.slot_req[s] is not None]
             if not active:
                 return bool(self.queue)
+            decode = (self._decode_greedy
+                      if all(self.temp_np[s] <= 0.0 for s in active)
+                      else self._decode)
             lens_dev = jnp.asarray(self.lens_np)
-            (next_tokens, next_lps), self.pcache.pools = self._decode(
+            (next_tokens, next_lps), self.pcache.pools = decode(
                 self.params, self.last_tokens, self.pcache.pools,
                 self.pcache.tables_device(), lens_dev, self._samp_batch()
             )
         else:
+            decode = (self._decode_greedy
+                      if all(self.temp_np[s] <= 0.0 for s in active)
+                      else self._decode)
             lens_dev = jnp.asarray(self.lens_np)
-            (next_tokens, next_lps), self.caches = self._decode(
+            (next_tokens, next_lps), self.caches = decode(
                 self.params, self.last_tokens, self.caches, lens_dev,
                 self._samp_batch()
             )

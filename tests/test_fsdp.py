@@ -68,3 +68,38 @@ def test_fsdp_train_step_matches_replicated():
     assert isinstance(wq.sharding, NamedSharding)
     assert AXIS_DATA in jax.tree_util.tree_leaves(
         [list(wq.sharding.spec)]), wq.sharding
+
+
+def test_fsdp_composes_with_tp():
+    """On a data x model mesh, fsdp_param_pspecs keeps the Megatron TP
+    sharding AND shards a free dim over data (ZeRO-3 over the TP shards),
+    and the composed train step matches the replicated step."""
+    from fa2_triton_tpu.parallel.mesh import AXIS_MODEL, shard_params
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    mesh = make_mesh(data=2, model=2)
+    specs = fsdp_param_pspecs(params, mesh)
+    l0 = specs["layers"][0]
+    assert l0["wq"] == P(AXIS_DATA, AXIS_MODEL), l0["wq"]
+    assert l0["wo"] == P(AXIS_MODEL, AXIS_DATA), l0["wo"]
+    assert l0["w_down"] == P(AXIS_MODEL, AXIS_DATA), l0["w_down"]
+    assert specs["embed"] == P(AXIS_DATA, None)
+    assert specs["layers"][0]["attn_norm"] == P()  # small leaves replicated
+
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (8, 33), 0,
+                                CFG.vocab_size)
+    ref_params, _, ref_loss = jax.jit(
+        lambda p, o, t: _step(p, o, t, opt))(params, opt_state, tokens)
+
+    sparams = shard_params(params, mesh, specs=specs)
+    sopt = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), opt_state)
+    stoks = jax.device_put(tokens, NamedSharding(mesh, P(AXIS_DATA, None)))
+    new_params, _, loss = jax.jit(
+        lambda p, o, t: _step(p, o, t, opt))(sparams, sopt, stoks)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params["layers"][0]["wq"]),
+        np.asarray(ref_params["layers"][0]["wq"]), atol=2e-5, rtol=1e-4)

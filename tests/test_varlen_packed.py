@@ -128,8 +128,8 @@ def test_packed_varlen_dropout_matches_oracle(causal):
     for s0 in starts:
         r = jnp.uint32(int(s0)) + jnp.arange(S, dtype=jnp.uint32).reshape(1, -1, 1)
         c = jnp.uint32(int(s0)) + jnp.arange(S, dtype=jnp.uint32).reshape(1, 1, -1)
-        flat = (h * jnp.uint32(T) + r) * jnp.uint32(T) + c
-        bits = counter_hash_uint32(jnp.uint32(seed), flat)
+        s_h = counter_hash_uint32(jnp.uint32(seed), h)
+        bits = counter_hash_uint32(counter_hash_uint32(s_h, r), c)
         masks.append(bits >= jnp.uint32(dropout_threshold(p_drop)))
     keep_mask = jnp.stack(masks)  # [B, H, S, S]
 
