@@ -758,27 +758,31 @@ def flash_attn_forward_causal_strip(
 
 def causal_strip_ok(causal, static_skip, window, bias, varlen, Sq, Sk,
                     sq_real, sk_real, head_dim, sub=512,
-                    vmem_budget=8192 * 128):
+                    vmem_budget=8192 * 128, softcap=0.0):
     """Eligibility for the whole-strip causal kernel: K and V strips must
     fit VMEM together (Sk * head_dim each, bf16; budget leaves room for the
     q/o/acc tiles), the shift must be static, non-negative and sub-aligned,
-    and the final diagonal tile must sit inside the strip."""
+    and the final diagonal tile must sit inside the strip. Softcap needs
+    raw-score tanh, which the prescaled-q fast kernels don't compute."""
     shift = sk_real - sq_real
     return (causal and static_skip and window == (-1, -1) and bias is None
-            and not varlen
+            and not varlen and softcap == 0.0
             and Sq % sub == 0 and Sk % sub == 0 and Sq >= 2 * sub
             and shift >= 0 and shift % sub == 0 and Sq + shift <= Sk
             and Sk * head_dim <= vmem_budget)
 
 
 def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
-                  sq_real, sk_real, head_dim=128, sub=256, max_seq=2048):
+                  sq_real, sk_real, head_dim=128, sub=256, max_seq=2048,
+                  softcap=0.0):
     """Eligibility for the static-triangular small-S causal kernel.
 
     The whole (padded) sequence lives in VMEM (q, k, v, o tiles), so the
     budget scales with Sq * head_dim: S=2048 fits at D=128, only S<=1024 at
-    D=256."""
+    D=256. Softcap disqualifies: the kernel folds scale*log2e into q and
+    never materializes the raw scores the tanh needs."""
     return (causal and static_skip and window == (-1, -1) and bias is None
+            and softcap == 0.0
             and Sq <= max_seq and Sk <= max_seq
             and Sq * head_dim <= 2048 * 128 and Sk * head_dim <= 2048 * 128
             and Sq % sub == 0 and Sk % sub == 0
@@ -838,7 +842,7 @@ def flash_attn_forward(
     # Short causal sequences use the fully-static triangular kernel (one
     # grid step per (batch, head)): measured 54 -> ~90 TFLOP/s at S=1024.
     ok_tri = tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
-                           sq_real, sk_real, head_dim=D)
+                           sq_real, sk_real, head_dim=D, softcap=softcap)
     if tri_square if tri_square is not None else ok_tri:
         assert ok_tri, "tri_square forced but preconditions not met"
         return flash_attn_forward_tri_square(
@@ -855,7 +859,8 @@ def flash_attn_forward(
     # and compile budgets run out) use the whole-strip causal kernel when
     # the strip fits VMEM.
     ok_strip = (causal_strip_ok(causal, static_skip, window, bias, varlen,
-                                Sq, Sk, sq_real, sk_real, head_dim=D)
+                                Sq, Sk, sq_real, sk_real, head_dim=D,
+                                softcap=softcap)
                 and os.environ.get("FA2_DISABLE_STRIP", "0").lower()
                 not in ("1", "true", "yes"))
     if causal_strip if causal_strip is not None else ok_strip:

@@ -24,6 +24,21 @@ def test_softcap_with_bias():
     run_attention_case(2, 4, 2, 128, 128, 64, causal=False, softcap=20.0, use_bias=True)
 
 
+def test_softcap_causal_fast_path_shapes():
+    """Regression: causal+softcap at tri/strip-eligible shapes once routed to
+    the prescaled-q fast kernels, which silently DROP the tanh (the original
+    softcap tests used S=128, below every fast path's alignment gate).
+    run_attention_case's data is mild, so also pin the gates directly."""
+    from fa2_triton_tpu.ops.flash_fwd import causal_strip_ok, tri_square_ok
+
+    assert not tri_square_ok(True, True, (-1, -1), None, 256, 256, 256, 256,
+                             head_dim=128, softcap=5.0)
+    assert not causal_strip_ok(True, True, (-1, -1), None, False, 1024, 1024,
+                               1024, 1024, head_dim=256, softcap=5.0)
+    # tri-eligible shape (S=256 multiple of sub) with a biting softcap.
+    run_attention_case(2, 4, 2, 256, 256, 128, causal=True, softcap=5.0)
+
+
 def test_block_sizes_always_lane_aligned():
     """Regression: odd seqlens must never produce non-128-aligned blocks
     (4700/3000 once derived block_q=682 and crashed flash_attn_func)."""
