@@ -95,6 +95,11 @@ def _fwd_kernel(
                             # (bq == bkv, shift % bq == 0) is the SAME
                             # lower triangle every time — one VPU add
                             # replaces iota+compare+select (~4 passes)
+    need_col_mask_static=None,  # override the seqlen-derived decision: a
+                            # rect sub-launch addresses cols [col0, col0+nc)
+                            # of a larger problem, so "cols may be invalid"
+                            # depends on col0+nc vs the real length, not on
+                            # this call's local padded extent
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
     # ---- zigzag causal schedule -------------------------------------------
@@ -195,7 +200,8 @@ def _fwd_kernel(
     # exp2(MASK - m_new) == 0, and rows that NEVER see a valid column are
     # overwritten in the finalizer.
     seqlen_k_pad = num_kv_blocks * block_kv
-    need_col_mask = varlen or (seqlen_k_real < seqlen_k_pad)
+    need_col_mask = (need_col_mask_static if need_col_mask_static is not None
+                     else (varlen or (seqlen_k_real < seqlen_k_pad)))
     need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
 
     # KV sub-tiling: the block's QK^T is computed as `unroll` independent
@@ -413,6 +419,13 @@ def _fwd_tri_square_kernel(
     dropout_p: float,
     seqlen_q_real: int, seqlen_k_real: int, num_q_heads: int,
     varlen: bool,
+    diag_stride: int = 0,   # > 0: grid has a 3rd dim t walking diagonal
+                            # T-blocks; global offsets gain t * diag_stride
+    leaf_subs: int = 0,     # > 0: the strip holds SEVERAL independent
+                            # diagonal triangles of leaf_subs sub-tiles each;
+                            # row r only attends columns within its own leaf
+                            # (the split schedule's below-leaf work is done
+                            # by dense rect launches)
 ):
     """Small-sequence causal forward: one grid step per (batch, head).
 
@@ -435,6 +448,13 @@ def _fwd_tri_square_kernel(
     kv_off = scal_ref[0, 1]  # (masks cancel at shift 0; dropout must not)
     seed = scal_ref[0, 2]
     h = pl.program_id(1)
+    if diag_stride > 0:
+        # Diagonal-blocks mode (`flash_attn_forward_causal_diag`): this grid
+        # step handles the t-th T x T triangle of a larger causal problem;
+        # rows/cols are globally offset by t*T for validity and dropout.
+        t_off = pl.program_id(2) * diag_stride
+        q_off = q_off + t_off
+        kv_off = kv_off + t_off
     shift_sub = shift_static // sub
 
     for r in range(n_sub_q):
@@ -443,7 +463,8 @@ def _fwd_tri_square_kernel(
         m = jnp.full((sub, 1), MASK_LOG2, jnp.float32)
         l = jnp.zeros((sub, 1), jnp.float32)
         acc = None
-        us = [u for u in range(n_sub_k) if u <= r + shift_sub]
+        base_u = (r // leaf_subs) * leaf_subs if leaf_subs else 0
+        us = [u for u in range(n_sub_k) if base_u <= u <= r + shift_sub]
         # Process kv sub-tiles in groups of `unroll`: independent QK^T / exp2
         # / PV chains within a group share one running-max update, letting
         # Mosaic overlap one tile's PV matmul with the next tile's exp2
@@ -797,6 +818,305 @@ def make_tri_mask(block_q: int, block_kv: int) -> jax.Array:
         jnp.bfloat16).reshape(1, 1, block_q, block_kv)
 
 
+# ---------------------------------------------------------------------------
+# Divide-and-conquer causal schedule ("split"): causal(S) decomposes into
+# S/T diagonal T x T triangles (one batched static-triangular launch) plus a
+# binary tree of strictly-below-diagonal DENSE rectangles, each running the
+# plain non-causal kernel at its full (non-causal) throughput, merged with
+# the associative online-softmax rule. The reference's full/masked loop
+# split (`/root/reference/src/forward/kernel.py:166-253`) applies the same
+# observation one level down (within one row block); here it is applied at
+# the whole-problem level, which lets every below-diagonal FLOP run at the
+# dense kernel's measured peak instead of a causal schedule's (v5e: causal
+# fwd S=4096 ~95 -> ~130 TFLOP/s effective).
+# ---------------------------------------------------------------------------
+
+
+def causal_split_rects(n: int):
+    """Below-diagonal rectangles (row0, col0, nrows, ncols) in leaf units.
+
+    Binary recursion: rows [mid, hi) attend every column in [lo, mid)
+    unmasked (causality is implied by row >= mid > col), so that block is a
+    dense rect; the two halves recurse. Any n >= 2 works (not just powers
+    of two); depth is ceil(log2 n), total rect area = n*(n-1)/2 leaves."""
+    rects = []
+
+    def rec(lo, hi):
+        if hi - lo <= 1:
+            return
+        mid = (lo + hi) // 2
+        rects.append((mid, lo, hi - mid, mid - lo))
+        rec(lo, mid)
+        rec(mid, hi)
+
+    rec(0, n)
+    return rects
+
+
+def split_leaf_t(head_dim: int) -> int:
+    """Largest diagonal leaf whose q/k/v/o strips fit the tri-square VMEM
+    budget (Sq * head_dim <= 2048 * 128, see `tri_square_ok`)."""
+    if head_dim <= 128:
+        return 2048
+    if head_dim <= 256:
+        return 1024
+    return 0
+
+
+def causal_split_ok(causal, static_skip, window, bias, varlen, softcap,
+                    Sq, Sk, sq_real, sk_real, head_dim, leaf_t=None):
+    """Eligibility for the split schedule: square zero-shift causal (the
+    training common case), no bias/window/softcap/varlen, and at least two
+    leaf triangles. Shifted (sq != sk) causal keeps the strip/zigzag paths.
+
+    The DEFAULT dispatch (leaf_t None) takes the split only at exactly two
+    leaves — S just past the tri-square range, where v5e measures split 116
+    vs zigzag 98 / strip 94 (S=4096, D=128). At larger S the zigzag's
+    per-row state machine amortizes over more KV blocks and overtakes
+    (S=8192: zigzag 119, split 114; S=16384: zigzag 135, split 124) — the
+    diagonal leaves are a fixed ~86-TFLOP/s fraction the rects can't buy
+    back. An explicit leaf override (tests, sweeps) allows any n >= 2."""
+    T = leaf_t if leaf_t is not None else split_leaf_t(head_dim)
+    n_ok = (Sq // T == 2) if (leaf_t is None and T > 0) else (
+        T > 0 and Sq // T >= 2)
+    return (causal and static_skip and window == (-1, -1) and bias is None
+            and not varlen and softcap == 0.0 and T > 0 and T % 128 == 0
+            and Sq == Sk and sq_real == sk_real
+            and Sq % T == 0 and n_ok)
+
+
+def merge_softmax_partials(o1, lse1, o2, lse2):
+    """Combine two normalized partial attention results over disjoint KV
+    column sets (same rows): the associative (m, l, acc) merge expressed on
+    the finalized (o, lse) pair. lse is base-2 [.., 1] f32 with -inf marking
+    dead rows; o may carry a 1/(1-p) dropout compensation — the weights
+    2^(lse_i - lse_tot) are exactly l_i / l_tot, so the compensation factors
+    through unchanged. Returns (o f32, lse f32)."""
+    m = jnp.maximum(lse1, lse2)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)   # both dead -> weights 0
+    w1 = jnp.exp2(lse1 - m_safe)
+    w2 = jnp.exp2(lse2 - m_safe)
+    l = w1 + w2
+    inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+    o = (o1.astype(jnp.float32) * w1 + o2.astype(jnp.float32) * w2) * inv
+    lse = jnp.where(l > 0.0, m_safe + jnp.log2(l), -jnp.inf)
+    return o, lse
+
+
+def flash_attn_forward_causal_diag(
+    q, k, v, lens, scalars, *,
+    T, softmax_scale, dropout_p=0.0, sub=256, unroll=1,
+    leaves_per_step=None,
+    seqlen_q_real=None, seqlen_k_real=None,
+    q_prescaled=False, debug_interpret=None,
+):
+    """All diagonal T x T causal triangles of a square problem in ONE
+    batched launch. Each grid step owns a strip of `leaves_per_step`
+    CONSECUTIVE triangles (the kernel's `leaf_subs` restricts every row's
+    column walk to its own leaf) — per-leaf grid steps measured ~3us of
+    non-overlapped fixed cost each on v5e, so packing leaves per step buys
+    ~13% on the diagonal pass. `diag_stride` keeps the dropout stream and
+    row validity global. Outputs are FULL-size (B, Hq, Sq, *): rows outside
+    any rect are final, rows below get merged with the rect partials by the
+    split orchestrator."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    assert Sq == Sk and Sq % T == 0 and T % sub == 0
+    n = Sq // T
+    if leaves_per_step is None:
+        # Strip (q,k,v,o + double buffering) VMEM budget: C*T*D <= 2048*128
+        # (C=2 at T=2048/D=128 hit Mosaic's 16M scoped-vmem limit at 24.9M).
+        leaves_per_step = max(1, min(n, (2048 * 128 // D) // T))
+    while n % leaves_per_step:
+        leaves_per_step -= 1
+    C = leaves_per_step
+    CT = C * T
+    if not q_prescaled:
+        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    kernel = functools.partial(
+        _fwd_tri_square_kernel,
+        sub=sub, n_sub_q=CT // sub, n_sub_k=CT // sub, shift_static=0,
+        unroll=unroll, dropout_p=dropout_p,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+        varlen=False, diag_stride=CT, leaf_subs=T // sub,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, n // C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CT, D), lambda b, h, t: (b, h, t, 0)),
+            pl.BlockSpec((1, 1, CT, D),
+                         lambda b, h, t: (b, h // group, t, 0)),
+            pl.BlockSpec((1, 1, CT, D),
+                         lambda b, h, t: (b, h // group, t, 0)),
+            pl.BlockSpec((1, 1, sub, sub), lambda b, h, t: (0, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, CT, D), lambda b, h, t: (b, h, t, 0)),
+            pl.BlockSpec((1, 1, CT, 1), lambda b, h, t: (b, h, t, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k, v, make_tri_mask(sub, sub))
+    return o, lse
+
+
+def flash_attn_forward_rect(
+    q, k, v, lens, scalars, *,
+    row0, col0, nrows, ncols,
+    softmax_scale, dropout_p=0.0,
+    block_q=512, block_kv=2048, unroll_kv=4,
+    seqlen_q_real=None, seqlen_k_real=None,
+    q_prescaled=False, debug_interpret=None,
+):
+    """Non-causal attention of q rows [row0, row0+nrows) against kv columns
+    [col0, col0+ncols) of FULL (padded) arrays — zero-copy: the region is
+    addressed by static block offsets in the BlockSpec index maps, and the
+    global row/col offsets ride the scalars so dropout streams and validity
+    match the enclosing problem. Returns region-sized (o, lse)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    # Blocks must tile the region AND divide its offset (index maps step in
+    # block units).
+    while nrows % block_q or (row0 % block_q):
+        block_q //= 2
+    while ncols % block_kv or (col0 % block_kv):
+        block_kv //= 2
+    assert block_q >= 128 and block_kv >= 128, (row0, col0, nrows, ncols)
+    unroll = max(1, unroll_kv)
+    while block_kv % unroll != 0 or (block_kv // unroll) % 128 != 0:
+        unroll -= 1
+    nq, nkv = nrows // block_q, ncols // block_kv
+    roff, coff = row0 // block_q, col0 // block_kv
+    if not q_prescaled:
+        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+    scalars = scalars + jnp.array([[row0, col0, 0, 0]], jnp.int32)
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    kernel = functools.partial(
+        _fwd_kernel_nobias,
+        scale=softmax_scale, causal=False, window=(-1, -1), softcap=0.0,
+        dropout_p=dropout_p, block_q=block_q, block_kv=block_kv,
+        num_kv_blocks=nkv,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+        last_kv_block_fn=None, varlen=False, prescaled=True, unroll=unroll,
+        split_diag=False,
+        # Cols [col0, col0+ncols) are invalid only past the real length.
+        need_col_mask_static=(sk_real < col0 + ncols),
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, nq, nkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq + roff, 0)),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, iq, ik: (b, h // group, ik + coff, 0)),
+            pl.BlockSpec((1, 1, block_kv, D),
+                         lambda b, h, iq, ik: (b, h // group, ik + coff, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, nrows, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, nrows, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k, v)
+    return o, lse
+
+
+def _causal_split_forward(
+    q, k, v, lens, scalars, *,
+    softmax_scale, dropout_p=0.0,
+    seqlen_q_real=None, seqlen_k_real=None,
+    q_prescaled=False, leaf_t=None, debug_interpret=None,
+):
+    """Split-schedule causal forward (see module comment above): one
+    diagonal-triangles launch + one dense launch per below-diagonal rect,
+    merged rowwise with `merge_softmax_partials`."""
+    B, Hq, Sq, D = q.shape
+    T = leaf_t if leaf_t is not None else split_leaf_t(D)
+    n = Sq // T
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sq
+    if not q_prescaled:
+        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+
+    sub_d, unroll_d = (min(256, T), 4 if T <= 1024 else 1)
+    ov = autotune_lookup("diag_fwd", True, D, T)
+    if ov is not None and T % ov[0] == 0:
+        sub_d, unroll_d = ov
+    o, lse = flash_attn_forward_causal_diag(
+        q, k, v, lens, scalars, T=T, softmax_scale=softmax_scale,
+        dropout_p=dropout_p, sub=sub_d, unroll=unroll_d,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+        q_prescaled=True, debug_interpret=debug_interpret,
+    )
+
+    from fa2_triton_tpu.ops.tuning import choose_block_sizes
+
+    for (r0u, c0u, nru, ncu) in causal_split_rects(n):
+        r0, c0, nr, nc = r0u * T, c0u * T, nru * T, ncu * T
+        ov = autotune_lookup("rect_fwd", False, D, nc)
+        if ov is not None:
+            bq_r, bkv_r, u_r = ov
+        elif nc <= 2048 and nr % 1024 == 0 and D <= 128:
+            # v5e sweep: tall blocks win on narrow strips — (1024, 2048, u1)
+            # measured 115.7 overall vs 112.7 with the dense-table default.
+            bq_r, bkv_r, u_r = 1024, nc, 1
+        else:
+            blocks = choose_block_sizes(nr, nc, D, causal=False)
+            bq_r, bkv_r, u_r = (blocks.block_q, blocks.block_kv,
+                                blocks.unroll_kv)
+        o_r, lse_r = flash_attn_forward_rect(
+            q, k, v, lens, scalars,
+            row0=r0, col0=c0, nrows=nr, ncols=nc,
+            softmax_scale=softmax_scale, dropout_p=dropout_p,
+            block_q=bq_r, block_kv=bkv_r, unroll_kv=u_r,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+            q_prescaled=True, debug_interpret=debug_interpret,
+        )
+        o_s = jax.lax.slice_in_dim(o, r0, r0 + nr, axis=2)
+        lse_s = jax.lax.slice_in_dim(lse, r0, r0 + nr, axis=2)
+        o_m, lse_m = merge_softmax_partials(o_s, lse_s, o_r, lse_r)
+        o = jax.lax.dynamic_update_slice_in_dim(
+            o, o_m.astype(o.dtype), r0, axis=2)
+        lse = jax.lax.dynamic_update_slice_in_dim(lse, lse_m, r0, axis=2)
+    return o, lse
+
+
 def flash_attn_forward(
     q: jax.Array,               # [B, Hq, Sq, D]  BHSD, padded to blocks/lanes
     k: jax.Array,               # [B, Hkv, Sk, D]
@@ -821,6 +1141,8 @@ def flash_attn_forward(
     zigzag: Optional[bool] = None,
     tri_square: Optional[bool] = None,
     causal_strip: Optional[bool] = None,
+    causal_split: Optional[bool] = None,
+    split_leaf: Optional[int] = None,
     debug_interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Launch the forward kernel on BHSD tensors already padded to blocks.
@@ -853,6 +1175,23 @@ def flash_attn_forward(
             sub=256, unroll=4 if Sq <= 1024 else 1,
             seqlen_q_real=sq_real, seqlen_k_real=sk_real, varlen=varlen,
             q_prescaled=q_prescaled, debug_interpret=debug_interpret,
+        )
+
+    # Longer square causal (S >= 4096 at D=128): split schedule — batched
+    # diagonal triangles + dense below-diagonal rects at non-causal peak.
+    ok_split = (causal_split_ok(causal, static_skip, window, bias, varlen,
+                                softcap, Sq, Sk, sq_real, sk_real, D,
+                                leaf_t=split_leaf)
+                and os.environ.get("FA2_DISABLE_SPLIT", "0").lower()
+                not in ("1", "true", "yes"))
+    if causal_split if causal_split is not None else ok_split:
+        assert ok_split, "causal_split forced but preconditions not met"
+        return _causal_split_forward(
+            q, k, v, lens, scalars,
+            softmax_scale=softmax_scale, dropout_p=dropout_p,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+            q_prescaled=q_prescaled, leaf_t=split_leaf,
+            debug_interpret=debug_interpret,
         )
 
     # Longer causal sequences (S >= 4096 at D=128, where tri_square's VMEM
