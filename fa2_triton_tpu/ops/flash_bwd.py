@@ -767,13 +767,16 @@ def bwd_causal_strip_ok(causal, static_skip, window, bias, varlen,
     """Eligibility for the whole-strip causal backward: the K/V strips plus
     the two whole-strip f32 dk/dv scratch accumulators must fit VMEM
     (~12 bytes/element at bf16 I/O -> Sk*D <= 4096*128 ~ 6.3MB), with the
-    same alignment conditions as the forward strip kernel."""
+    same alignment conditions as the forward strip kernel. STRICTLY below
+    the budget: at Sk*D == 4096*128 exactly (S=4096, D=128) Mosaic's
+    scoped-vmem allocation lands at 16.004M vs the 16M limit through the
+    public vjp path — a 4KB overflow the estimate can't see."""
     shift = sk_real - sq_real
     return (causal and static_skip and window == (-1, -1) and bias is None
             and not varlen and softcap == 0.0
             and Sq % sub == 0 and Sk % sub == 0 and Sq >= 2 * sub
             and shift >= 0 and shift % sub == 0 and Sq + shift <= Sk
-            and Sk * head_dim <= vmem_budget)
+            and Sk * head_dim < vmem_budget)
 
 
 def _bwd_tri_square_kernel(
@@ -787,6 +790,11 @@ def _bwd_tri_square_kernel(
     *,
     scale, sub, n_sub_q, n_sub_k, shift_static, group,
     dropout_p, seqlen_q_real, seqlen_k_real, num_q_heads,
+    diag_stride: int = 0,   # > 0: 3rd grid dim walks diagonal strips;
+                            # global offsets gain t * diag_stride
+    leaf_subs: int = 0,     # > 0: strip holds several independent leaf
+                            # triangles (split schedule); row r only visits
+                            # columns of its own leaf
 ):
     """Small-sequence causal backward: one grid step per (batch, kv head).
 
@@ -803,6 +811,10 @@ def _bwd_tri_square_kernel(
     q_off = scal_ref[0, 0]   # global offsets (ring chunks): masks cancel at
     kv_off = scal_ref[0, 1]  # shift 0, the dropout stream must not
     seed = scal_ref[0, 2]
+    if diag_stride > 0:
+        t_off = pl.program_id(2) * diag_stride
+        q_off = q_off + t_off
+        kv_off = kv_off + t_off
     shift_sub = shift_static // sub
     D = q_ref.shape[3]
 
@@ -818,8 +830,9 @@ def _bwd_tri_square_kernel(
             lse_row = lse_ref[0, g, rs]
             lse_row = jnp.where(jnp.isfinite(lse_row), lse_row, 1e30)
             delta_row = delta_ref[0, g, rs]
+            base_u = (r // leaf_subs) * leaf_subs if leaf_subs else 0
             for u in range(n_sub_k):
-                if u > r + shift_sub:
+                if u < base_u or u > r + shift_sub:
                     continue
                 us = slice(u * sub, (u + 1) * sub)
                 k = k_ref[0, 0, us]
@@ -959,6 +972,298 @@ def flash_attn_backward_tri_square(
         interpret=interpret,
     )(lens, scalars, q, k_p, v, do, lse, delta, make_tri_mask(sub, sub))
     return dq, dk, dv
+
+
+def flash_attn_backward_causal_diag(
+    q, k_p, v, do, lse, delta, lens, scalars, *,
+    T, softmax_scale, dropout_p=0.0, sub=256, leaves_per_step=None,
+    seqlen_q_real=None, seqlen_k_real=None,
+    debug_interpret=None,
+):
+    """All diagonal T x T causal triangles of a square problem's BACKWARD in
+    one batched launch (split schedule) — the bwd sibling of
+    `flash_fwd.flash_attn_forward_causal_diag`. Takes PRESCALED k
+    (k * scale * log2e) and the PRECOMPUTED global delta so the split
+    orchestrator shares both across the diag and every rect launch.
+    Outputs are FULL-size; the orchestrator adds the rect contributions
+    into the below-diagonal row/column ranges (gradients over disjoint
+    column regions are additive — p recomputes from the global lse)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k_p.shape[1], k_p.shape[2]
+    group = Hq // Hkv
+    assert Sq == Sk and Sq % T == 0 and T % sub == 0
+    n = Sq // T
+    if leaves_per_step is None:
+        leaves_per_step = max(1, min(n, (2048 * 128 // (group * D)) // T))
+    while n % leaves_per_step:
+        leaves_per_step -= 1
+    C = leaves_per_step
+    CT = C * T
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
+
+    def q_index(b, hkv, t):
+        return (b, hkv, t, 0)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_tri_square_kernel,
+            scale=softmax_scale, sub=sub, n_sub_q=CT // sub,
+            n_sub_k=CT // sub, shift_static=0, group=group,
+            dropout_p=dropout_p,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+            diag_stride=CT, leaf_subs=T // sub,
+        ),
+        grid=(B, Hkv, n // C),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, group, CT, D), q_index),
+            pl.BlockSpec((1, 1, CT, D), q_index),
+            pl.BlockSpec((1, 1, CT, D), q_index),
+            pl.BlockSpec((1, group, CT, D), q_index),
+            pl.BlockSpec((1, group, CT, 1), q_index),
+            pl.BlockSpec((1, group, CT, 1), q_index),
+            pl.BlockSpec((1, 1, sub, sub), lambda b, hkv, t: (0, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, CT, D), q_index),
+            pl.BlockSpec((1, 1, CT, D), q_index),
+            pl.BlockSpec((1, 1, CT, D), q_index),
+        ),
+        out_shape=(
+            # Input dtypes: each region's sum accumulates in f32 registers
+            # in-kernel and is cast once on store (bf16 f32-outs pushed the
+            # per-step scoped VMEM to 16.5M, past Mosaic's 16M limit); the
+            # orchestrator upcasts to f32 for the cross-region additions.
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k_p.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k_p, v, do, lse, delta, make_tri_mask(sub, sub))
+    return dq, dk, dv
+
+
+def flash_attn_backward_rect(
+    q, k_p, v, do, lse, delta, lens, scalars, *,
+    row0, col0, nrows, ncols,
+    softmax_scale, dropout_p=0.0,
+    block_q=512, block_kv=2048, sub_kv=1024, unroll=2,
+    seqlen_q_real=None, seqlen_k_real=None,
+    debug_interpret=None,
+):
+    """Backward of the NON-CAUSAL attention of q rows [row0, row0+nrows)
+    against kv columns [col0, col0+ncols) of FULL (padded) arrays —
+    zero-copy via static block offsets in the index maps, reusing the fused
+    single-launch kernel at its dense-sweep configuration. Takes prescaled
+    k and precomputed global delta/lse (p recomputed from the global lse
+    gives exactly this region's share of the global gradient). Returns
+    region-sized (dq, dk, dv)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k_p.shape[1], k_p.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    while nrows % block_q or (row0 % block_q):
+        block_q //= 2
+    while ncols % block_kv or (col0 % block_kv):
+        block_kv //= 2
+    assert block_q >= 128 and block_kv >= 128, (row0, col0, nrows, ncols)
+    sub_kv = min(sub_kv, block_kv)
+    while block_kv % sub_kv or (col0 % sub_kv):
+        sub_kv //= 2
+    nq, nkv, nsub = nrows // block_q, ncols // block_kv, block_kv // sub_kv
+    roff = row0 // block_q
+    coff_sub = col0 // sub_kv
+    coff_kv = col0 // block_kv
+    scalars = scalars + jnp.array([[row0, col0, 0, 0]], jnp.int32)
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    unroll_q = max(1, unroll)
+    while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
+        unroll_q -= 1
+
+    def q_index(b, hkv, ikv, e, w):
+        return (b, hkv * group + e // nq, e % nq + roff, 0)
+
+    def kv_index(b, hkv, ikv, e, w):
+        return (b, hkv, ikv * nsub + w + coff_sub, 0)
+
+    def dq_index(b, hkv, ikv, e, w):
+        return (ikv, b, hkv * group + e // nq, e % nq, 0)
+
+    def dkdv_index(b, hkv, ikv, e, w):
+        return (b, hkv, ikv, 0)
+
+    dk, dv, dq_part = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel,
+            scale=softmax_scale, causal=False, window=(-1, -1),
+            softcap=0.0, dropout_p=dropout_p,
+            block_q=block_q, block_kv=block_kv, sub_kv=sub_kv,
+            num_q_blocks=nq, num_sub=nsub, group=group,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
+            causal_skip=False, shift_static=None,
+            need_edge_mask=(sq_real < row0 + nrows
+                            or sk_real < col0 + ncols),
+            need_diag_mask=False,
+            unroll=unroll_q, varlen=False, zigzag=False, num_w_steps=nsub,
+        ),
+        grid=(B, Hkv, nkv, group * nq, nsub),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
+            pl.BlockSpec((1, 1, sub_kv, D), kv_index),
+            pl.BlockSpec((1, 1, sub_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((1, 1, block_q, 1), q_index),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
+            pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
+            pl.BlockSpec((1, 1, 1, block_q, D), dq_index),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, ncols, D), k_p.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, ncols, D), v.dtype),
+            jax.ShapeDtypeStruct((nkv, B, Hq, nrows, D),
+                                 jnp.float32 if nkv > 1 else q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, scalars, q, k_p, v, do, lse, delta)
+    dq = dq_part[0] if nkv == 1 else jnp.sum(dq_part, axis=0)
+    return dq, dk, dv
+
+
+def causal_split_bwd_ok(causal, static_skip, window, bias, varlen, softcap,
+                        Sq, Sk, sq_real, sk_real, head_dim, group,
+                        leaf_t=None):
+    """Eligibility for the split-schedule backward. The diag launch carries
+    the whole GQA head group per block (like tri-square bwd), so the leaf
+    budget is group*T*head_dim <= 2048*128; leaves below 1024 rows lose to
+    the strip/zigzag schedules, which bounds this path to group <= 2 at
+    D=128 (GQA models keep the strip). The default dispatch mirrors the
+    forward's just-past-tri-range rule (S == 2 * fwd leaf); an explicit
+    leaf override allows any n >= 2."""
+    from fa2_triton_tpu.ops.flash_fwd import causal_split_ok
+
+    T = leaf_t if leaf_t is not None else bwd_split_leaf_t(head_dim, group)
+    if T <= 0:
+        return False
+    base = causal_split_ok(causal, static_skip, window, bias, varlen,
+                           softcap, Sq, Sk, sq_real, sk_real, head_dim,
+                           leaf_t=T)
+    if leaf_t is not None:
+        return base
+    # Default dispatch: OFF for now. v5e S=4096 D=128: split bwd measures
+    # ~87 TFLOP/s bwd-only vs the fused-zigzag's ~113 — the diagonal-leaf
+    # tri-bwd rate (5 matmuls over 256^2 tiles) drags more than the dense
+    # rects buy back. Revisit if the leaf kernel improves; the machinery
+    # stays reachable via causal_split=True / split_leaf for sweeps.
+    return False
+
+
+def bwd_split_leaf_t(head_dim: int, group: int) -> int:
+    """Largest bwd diagonal leaf fitting the tri-bwd VMEM budget
+    (group * T * head_dim <= 2048 * 128), 0 if below the 1024-row floor."""
+    t = 2048 * 128 // (group * head_dim)
+    t = 1 << (t.bit_length() - 1) if t > 0 else 0  # floor to power of two
+    return t if t >= 1024 else 0
+
+
+def _causal_split_backward(
+    q, k, v, do, o, lse, lens, scalars, *,
+    softmax_scale, dropout_p=0.0,
+    seqlen_q_real=None, seqlen_k_real=None,
+    dlse=None, leaf_t=None, debug_interpret=None,
+):
+    """Split-schedule causal backward: gradients are ADDITIVE over the leaf
+    triangles and below-diagonal rects (each region's p recomputes from the
+    GLOBAL lse, so its dq/dk/dv contribution is exactly its share of the
+    global sum — no softmax merge needed, unlike the forward). The
+    prescaled k and the global delta (incl. the LSE-cotangent fold) are
+    computed once and shared by every launch; partial sums ride in f32 and
+    cast once at the end."""
+    B, Hq, Sq, D = q.shape
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+    T = leaf_t if leaf_t is not None else bwd_split_leaf_t(D, group)
+    n = Sq // T
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sq
+
+    c = softmax_scale * LOG2E
+    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if dlse is not None:
+        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+
+    sub_d = min(256, T)
+    ov = autotune_lookup("diag_bwd", True, D, T)
+    if ov is not None and T % ov[0] == 0:
+        sub_d = ov[0]
+    dq, dk, dv = flash_attn_backward_causal_diag(
+        q, k_p, v, do, lse, delta, lens, scalars,
+        T=T, softmax_scale=softmax_scale, dropout_p=dropout_p, sub=sub_d,
+        seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+        debug_interpret=debug_interpret,
+    )
+    # Cross-region additions in f32 (each launch's partial is a complete
+    # in-kernel f32 sum cast once on store).
+    dq = dq.astype(jnp.float32)
+    dk = dk.astype(jnp.float32)
+    dv = dv.astype(jnp.float32)
+
+    from fa2_triton_tpu.ops.flash_fwd import causal_split_rects
+    from fa2_triton_tpu.ops.tuning import choose_fused_bwd
+
+    for (r0u, c0u, nru, ncu) in causal_split_rects(n):
+        r0, c0, nr, nc = r0u * T, c0u * T, nru * T, ncu * T
+        ov = autotune_lookup("rect_bwd", False, D, nc)
+        if ov is not None:
+            bq_r, bkv_r, sub_r, u_r = ov
+        else:
+            cfg = choose_fused_bwd(nr, nc, D, causal=False)
+            bq_r, bkv_r, sub_r, u_r = cfg if cfg is not None else (
+                512, min(nc, 2048), 512, 2)
+        dqr, dkr, dvr = flash_attn_backward_rect(
+            q, k_p, v, do, lse, delta, lens, scalars,
+            row0=r0, col0=c0, nrows=nr, ncols=nc,
+            softmax_scale=softmax_scale, dropout_p=dropout_p,
+            block_q=bq_r, block_kv=bkv_r, sub_kv=sub_r, unroll=u_r,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+            debug_interpret=debug_interpret,
+        )
+        dq = jax.lax.dynamic_update_slice_in_dim(
+            dq, jax.lax.slice_in_dim(dq, r0, r0 + nr, axis=2) + dqr,
+            r0, axis=2)
+        dk = jax.lax.dynamic_update_slice_in_dim(
+            dk, jax.lax.slice_in_dim(dk, c0, c0 + nc, axis=2) + dkr,
+            c0, axis=2)
+        dv = jax.lax.dynamic_update_slice_in_dim(
+            dv, jax.lax.slice_in_dim(dv, c0, c0 + nc, axis=2) + dvr,
+            c0, axis=2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _dbias_kernel(
@@ -1328,6 +1633,8 @@ def flash_attn_backward(
     dlse: Optional[jax.Array] = None,   # cotangent of the base-2 LSE output
     compute_dbias: bool = False,
     fused: Optional[bool] = None,
+    causal_split: Optional[bool] = None,
+    split_leaf: Optional[int] = None,
     debug_interpret: Optional[bool] = None,
 ):
     """Returns (dq, dk, dv) in input dtypes, deterministic by construction.
@@ -1370,6 +1677,21 @@ def flash_attn_backward(
                 sub=sub_sel,
                 seqlen_q_real=_sq, seqlen_k_real=_sk, varlen=varlen,
                 dlse=dlse, debug_interpret=debug_interpret,
+            )
+        # Split-schedule backward (S just past tri range): diagonal leaves
+        # + dense rects at the fused kernel's non-causal rate, additive.
+        ok_split = (causal_split_bwd_ok(causal, static_skip, window, None,
+                                        varlen, softcap, Sq, Sk, _sq, _sk,
+                                        D, Hq // Hkv, leaf_t=split_leaf)
+                    and os.environ.get("FA2_DISABLE_SPLIT", "0").lower()
+                    not in ("1", "true", "yes"))
+        if causal_split if causal_split is not None else ok_split:
+            assert ok_split, "causal_split forced but preconditions not met"
+            return _causal_split_backward(
+                q, k, v, do, o, lse, lens, scalars,
+                softmax_scale=softmax_scale, dropout_p=dropout_p,
+                seqlen_q_real=_sq, seqlen_k_real=_sk, dlse=dlse,
+                leaf_t=split_leaf, debug_interpret=debug_interpret,
             )
         # Whole-strip causal backward (grid (B, Hkv, group*nq), K/V strips
         # and dk/dv scratch resident): replaces the zigzag fused schedule

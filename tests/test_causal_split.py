@@ -106,6 +106,47 @@ def test_split_gates():
     assert split_leaf_t(128) == 2048 and split_leaf_t(256) == 1024
 
 
+def test_split_backward_matches_two_pass():
+    """Backward split (diag leaves + rect launches, additive in f32) vs the
+    two-pass kernels: GQA, dropout, LSE cotangent, dead tail rows."""
+    from fa2_triton_tpu.ops.flash_bwd import (
+        causal_split_bwd_ok, flash_attn_backward)
+
+    leaf, S, sreal = 128, 512, 400
+    B, H, Hkv, D = 2, 4, 2, 128
+    q, k, v = _mk(B, H, Hkv, S, D, seed=3)
+    ks = jax.random.split(jax.random.PRNGKey(4), 2)
+    do = jax.random.normal(ks[0], (B, H, S, D), jnp.float32) * 0.5
+    dlse = jax.random.normal(ks[1], (B, H, S, 1), jnp.float32) * 0.1
+    lens = jnp.broadcast_to(jnp.array([[sreal, sreal]], jnp.int32), (B, 2))
+    scal = jnp.array([[0, 0, 7, 0]], jnp.int32)
+    common = dict(causal=True, softmax_scale=D ** -0.5, seqlen_q_real=sreal,
+                  seqlen_k_real=sreal, static_skip=True, dropout_p=0.3)
+    o, lse = flash_attn_forward(
+        q, k, v, lens, scal, None, block_q=128, block_kv=128,
+        tri_square=False, causal_split=False, zigzag=False,
+        causal_strip=False, **common)
+    dlse_m = jnp.where(jnp.isfinite(lse), dlse, 0.0)
+    ref = flash_attn_backward(
+        q, k, v, do, o, lse, lens, scal, None, block_q=128, block_kv=128,
+        fused=False, dlse=dlse_m, **common)
+    sp = flash_attn_backward(
+        q, k, v, do, o, lse, lens, scal, None, block_q=128, block_kv=128,
+        causal_split=True, split_leaf=leaf, dlse=dlse_m, **common)
+    for name, a, b in zip(("dq", "dk", "dv"), sp, ref):
+        assert float(jnp.abs(a - b).max()) < 5e-5, name
+    # default bwd dispatch keeps the fused schedule (split is override-only
+    # until the diag-leaf rate justifies it); the S=4096 D=128 strip-bwd
+    # config that overflowed scoped VMEM by 4KB is gated out.
+    assert not causal_split_bwd_ok(True, True, (-1, -1), None, False, 0.0,
+                                   4096, 4096, 4096, 4096, 128, 1)
+    from fa2_triton_tpu.ops.flash_bwd import bwd_causal_strip_ok
+    assert not bwd_causal_strip_ok(True, True, (-1, -1), None, False, 0.0,
+                                   4096, 4096, 4096, 4096, head_dim=128)
+    assert bwd_causal_strip_ok(True, True, (-1, -1), None, False, 0.0,
+                               3072, 3072, 2560, 2560, head_dim=128)
+
+
 def test_merge_softmax_partials_identities():
     """Merging with a dead partial is the identity; merging equal halves
     doubles l (lse + 1 in base-2) and keeps o."""
