@@ -303,6 +303,71 @@ def run_tune(B=4, H=32, D=128):
                 eff = cflops * (2.5 if kind == "strip_bwd" else 1.0)
                 print(f"{kind} S={S} winner {best} "
                       f"({eff/best_t/1e12:.1f} TFLOP/s eff)", file=sys.stderr)
+
+        # Split-schedule pieces (the S == 2*leaf default causal route):
+        # diagonal-leaves launch (sub, unroll) and the dense rect blocks.
+        from fa2_triton_tpu.ops.flash_fwd import (
+            flash_attn_forward_causal_diag, flash_attn_forward_rect,
+            split_leaf_t)
+
+        T = split_leaf_t(D)
+        if T and S == 2 * T:
+            cflops = flops // 2
+            best, best_t = None, float("inf")
+            for sub in (256, 512):
+                if T % sub:
+                    continue
+                for u in (1, 2, 4, 8):
+                    if u > T // sub:
+                        continue
+                    try:
+                        t = device_time(
+                            lambda q, k, v, sub=sub, u=u:
+                            flash_attn_forward_causal_diag(
+                                q, k, v, lens, scal, T=T,
+                                softmax_scale=D ** -0.5, sub=sub, unroll=u,
+                                seqlen_q_real=S, seqlen_k_real=S),
+                            qT, kT, vT, iters=10)
+                    except Exception as e:
+                        print(f"  diag_fwd T={T} ({sub},{u}) failed: "
+                              f"{str(e)[:80]}", file=sys.stderr)
+                        continue
+                    print(f"  diag_fwd T={T} ({sub},{u}): "
+                          f"{cflops/2/t/1e12:.1f} TFLOP/s eff",
+                          file=sys.stderr, flush=True)
+                    if t < best_t:
+                        best, best_t = (sub, u), t
+            if best is not None:
+                path = record("diag_fwd", True, D, T, best, chip=chip)
+                print(f"diag_fwd T={T} winner {best}", file=sys.stderr)
+
+            rflops = 4 * B * H * T * T * D
+            best, best_t = None, float("inf")
+            for bq, bkv, u in ((1024, T, 1), (1024, T, 2), (512, T, 2),
+                               (512, T, 4)):
+                try:
+                    t = device_time(
+                        lambda q, k, v, bq=bq, bkv=bkv, u=u: (
+                            flash_attn_forward_rect(
+                                q, k, v, lens, scal, row0=T, col0=0,
+                                nrows=T, ncols=T,
+                                softmax_scale=D ** -0.5, block_q=bq,
+                                block_kv=bkv, unroll_kv=u,
+                                seqlen_q_real=S, seqlen_k_real=S)[0]
+                            .sum(axis=2, keepdims=True) + q, None),
+                        qT, kT, vT, iters=10)
+                except Exception as e:
+                    print(f"  rect_fwd ({bq},{bkv},u{u}) failed: "
+                          f"{str(e)[:80]}", file=sys.stderr)
+                    continue
+                print(f"  rect_fwd ({bq},{bkv},u{u}): "
+                      f"{rflops/t/1e12:.1f} TFLOP/s", file=sys.stderr,
+                      flush=True)
+                if t < best_t:
+                    best, best_t = (bq, bkv, u), t
+            if best is not None:
+                path = record("rect_fwd", False, D, T, best, chip=chip)
+                print(f"rect_fwd winner {best}", file=sys.stderr)
     print(json.dumps({
         "metric": "tuning_table_written",
         "value": 1, "unit": "table",
@@ -372,6 +437,11 @@ def main():
                         floor_violations.append(f"fwd S=4096 {r['tflops']:.1f} < 140")
                     if (S, causal, mode) == (4096, False, "fwdbwd") and r["tflops"] < 135:
                         floor_violations.append(f"fwdbwd S=4096 {r['tflops']:.1f} < 135")
+                    # Causal floors (split schedule in front since r4).
+                    if (S, causal, mode) == (4096, True, "fwd") and r["tflops"] < 105:
+                        floor_violations.append(f"fwd causal S=4096 {r['tflops']:.1f} < 105")
+                    if (S, causal, mode) == (4096, True, "fwdbwd") and r["tflops"] < 98:
+                        floor_violations.append(f"fwdbwd causal S=4096 {r['tflops']:.1f} < 98")
         if floor_violations:
             print("PERF FLOOR VIOLATED: " + "; ".join(floor_violations),
                   file=sys.stderr)

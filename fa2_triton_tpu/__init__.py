@@ -12,6 +12,7 @@ Public API mirrors the reference (`/root/reference/src/__init__.py:1-4`).
 from fa2_triton_tpu.ops import (
     flash_attn_func,
     flash_attn_reference,
+    flash_attn_blocksparse_func,
     flash_attn_varlen_func,
     pack_padded_batch,
     unpack_padded_batch,
@@ -32,6 +33,7 @@ __all__ = [
     "flash_attn_func",
     "flash_attn_reference",
     "flash_attn_varlen_func",
+    "flash_attn_blocksparse_func",
     "pack_padded_batch",
     "unpack_padded_batch",
 ]

@@ -104,7 +104,8 @@ def _seg_extents(seg_starts, T: int):
     return [b - a for a, b in zip(starts, starts[1:] + [int(T)])]
 
 def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
-                    block_q, block_kv, causal, kv_major=False, group=1):
+                    block_q, block_kv, causal, kv_major=False, group=1,
+                    keep_block=None):
     """Host-side work list (see module docstring).
 
     `seg_exts` are each segment's PADDED extents (align-multiples tiling the
@@ -113,7 +114,13 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
     carry exact zeros — the packed cotangents feed straight into user
     arrays). kv_major=True emits the dk/dv ordering: consecutive steps share
     a kv block (iterating the GQA group inside it); init/final then refer to
-    the kv block's accumulation."""
+    the kv block's accumulation.
+
+    `keep_block(seg, jq, jk) -> bool` optionally filters (q block, kv block)
+    pairs at BLOCK granularity (segment-local indices) — block-sparse
+    attention: filtered pairs never enter the grid, and the softmax
+    normalizes over the surviving blocks only. Rows/columns whose every
+    pair is filtered zero-fill via the dummy masked step."""
     rows: List[List[int]] = []
     B = len(seg_qlens)
     for s in range(B):
@@ -136,6 +143,9 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
                             continue  # entire q block above the diagonal
                         if kv_lo >= kvlen:
                             continue  # dead kv tail: zero-fill only
+                        if (keep_block is not None
+                                and not keep_block(s, jq, jk)):
+                            continue  # block-sparse: filtered out
                         masked = (
                             kv_lo + block_kv > kvlen
                             or q_lo + block_q > qlen
@@ -148,10 +158,14 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
                             F_MASKED * masked, g,
                         ])
                 if not steps:
-                    # Dead/fully-skipped kv block: one masked step whose
+                    # Dead or fully-filtered kv block: one masked step whose
                     # compute contributes zero; the finalizer writes zeros.
+                    # kvlen is clamped to kv_lo so every column of the block
+                    # fails `col < kvlen` — a LIVE kv block that block-sparse
+                    # filtered out must not pick up q-block-0's real ds/p.
                     steps = [[q0 // block_q, (q0 + kv_lo) // block_kv,
-                              0, kv_lo, qlen, kvlen, F_MASKED, 0]]
+                              0, kv_lo, qlen, min(kvlen, kv_lo),
+                              F_MASKED, 0]]
                 steps[0][6] |= F_INIT
                 steps[-1][6] |= F_FINAL
                 rows += steps
@@ -166,6 +180,9 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
                             break
                         if causal and kv_lo > q_lo + block_q - 1 + shift:
                             break  # strictly-future kv blocks
+                        if (keep_block is not None
+                                and not keep_block(s, jq, jk)):
+                            continue  # block-sparse: filtered out
                         masked = (
                             kv_lo + block_kv > kvlen
                             or (causal
@@ -177,10 +194,15 @@ def _build_schedule(seg_starts, seg_exts, seg_qlens, seg_kvlens,
                             F_MASKED * masked, 0,
                         ])
                 if not steps:
-                    # Dead row block (padded tail / negative-shift causal):
-                    # one masked step so the finalizer zero-fills it.
+                    # Dead row block (padded tail / negative-shift causal)
+                    # or a live one block-sparse filtered entirely: one
+                    # masked step so the finalizer zero-fills it. qlen is
+                    # clamped to q_lo so every row of the block fails
+                    # `row < qlen` in the finalizer (o = 0, lse = -inf —
+                    # which in turn zeroes the backward's p for these rows).
                     steps = [[(q0 + q_lo) // block_q, q0 // block_kv,
-                              q_lo, 0, qlen, kvlen, F_MASKED, 0]]
+                              q_lo, 0, min(qlen, q_lo), kvlen,
+                              F_MASKED, 0]]
                 steps[0][6] |= F_INIT
                 steps[-1][6] |= F_FINAL
                 rows += steps
@@ -299,7 +321,8 @@ def flash_attn_varlen_forward(
     causal: bool, softmax_scale: float,
     block_q: int = 512, block_kv: int = 512,
     dropout_p: float = 0.0, seed=0,
-    q_prescaled: bool = False, debug_interpret: Optional[bool] = None,
+    q_prescaled: bool = False, keep_block=None,
+    debug_interpret: Optional[bool] = None,
 ):
     _, Hq, T, D = q.shape
     Hkv = k.shape[1]
@@ -310,7 +333,8 @@ def flash_attn_varlen_forward(
         q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
     exts = _seg_extents(seg_starts, T)
     work = _build_schedule(seg_starts, exts, seg_qlens, seg_kvlens,
-                           block_q, block_kv, causal)
+                           block_q, block_kv, causal,
+                           keep_block=keep_block)
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
@@ -513,7 +537,7 @@ def flash_attn_varlen_backward(
     causal: bool, softmax_scale: float,
     block_q: int = 512, block_kv: int = 512,
     dropout_p: float = 0.0, seed=0,
-    dlse: Optional[jax.Array] = None,
+    dlse: Optional[jax.Array] = None, keep_block=None,
     debug_interpret: Optional[bool] = None,
 ):
     _, Hq, T, D = q.shape
@@ -533,7 +557,8 @@ def flash_attn_varlen_backward(
 
     exts = _seg_extents(seg_starts, T)
     work_q = _build_schedule(seg_starts, exts, seg_qlens, seg_kvlens,
-                             block_q, block_kv, causal)
+                             block_q, block_kv, causal,
+                             keep_block=keep_block)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     def q_index(h, i, w, s):
@@ -569,7 +594,8 @@ def flash_attn_varlen_backward(
 
     work_kv = _build_schedule(seg_starts, exts, seg_qlens, seg_kvlens,
                               block_q, block_kv, causal,
-                              kv_major=True, group=group)
+                              kv_major=True, group=group,
+                              keep_block=keep_block)
 
     def q_index2(hkv, i, w, s):
         return (0, hkv * group + w[i, 7], w[i, 0], 0)
@@ -616,6 +642,30 @@ def flash_attn_varlen_backward(
 
 # ---------------------------- public wrapper ------------------------------
 
+def _mask_keep_fn(mask_bits):
+    """Rebuild a keep_block callable from the hashable mask encoding
+    (n_kv_blocks, per-q-block row bitmasks as ints) carried in the
+    custom_vjp nondiff meta. None means dense (no filter)."""
+    if mask_bits is None:
+        return None
+    _, rows = mask_bits
+
+    def keep(s, jq, jk):
+        return bool((rows[jq] >> jk) & 1)
+
+    return keep
+
+
+def encode_block_mask(block_mask) -> Tuple[int, Tuple[int, ...]]:
+    """Encode a bool [n_q_blocks, n_kv_blocks] array as a hashable
+    (n_kv_blocks, row-bitmask-ints) tuple for the custom_vjp meta."""
+    m = np.asarray(block_mask, bool)
+    assert m.ndim == 2, "block_mask must be [n_q_blocks, n_kv_blocks]"
+    rows = tuple(int(sum(1 << j for j in range(m.shape[1]) if m[i, j]))
+                 for i in range(m.shape[0]))
+    return (int(m.shape[1]), rows)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _varlen_core(meta, q, k, v, seed):
     (o, lse), _ = _varlen_core_fwd(meta, q, k, v, seed)
@@ -623,16 +673,16 @@ def _varlen_core(meta, q, k, v, seed):
 
 
 def _varlen_core_fwd(meta, q, k, v, seed):
-    starts, qlens, kvlens, causal, scale, bq, bkv, dropout_p = meta
+    starts, qlens, kvlens, causal, scale, bq, bkv, dropout_p, mask = meta
     o, lse = flash_attn_varlen_forward(
         q, k, v, np.asarray(starts), qlens, kvlens,
         causal=causal, softmax_scale=scale, block_q=bq, block_kv=bkv,
-        dropout_p=dropout_p, seed=seed)
+        dropout_p=dropout_p, seed=seed, keep_block=_mask_keep_fn(mask))
     return (o, lse), (q, k, v, o, lse, seed)
 
 
 def _varlen_core_bwd(meta, res, cot):
-    starts, qlens, kvlens, causal, scale, bq, bkv, dropout_p = meta
+    starts, qlens, kvlens, causal, scale, bq, bkv, dropout_p, mask = meta
     q, k, v, o, lse, seed = res
     do, dlse = cot
     # dlse is the cotangent of the [1, H, T, 1] lse output — already shaped
@@ -641,7 +691,8 @@ def _varlen_core_bwd(meta, res, cot):
     grads = flash_attn_varlen_backward(
         q, k, v, do, o, lse, np.asarray(starts), qlens, kvlens,
         causal=causal, softmax_scale=scale, block_q=bq, block_kv=bkv,
-        dropout_p=dropout_p, seed=seed, dlse=dlse4)
+        dropout_p=dropout_p, seed=seed, dlse=dlse4,
+        keep_block=_mask_keep_fn(mask))
     return grads + (np.zeros(seed.shape, dtype=jax.dtypes.float0),)
 
 
@@ -722,11 +773,103 @@ def flash_attn_varlen_func(
             dropout_seed if dropout_seed is not None else 0, jnp.int32)
 
     meta = (starts, seqlens, seqlens, causal, scale, block_q, block_kv,
-            float(dropout_p))
+            float(dropout_p), None)
     o, lse = _varlen_core(meta, to_bhsd(q), to_bhsd(k), to_bhsd(v), seed)
     out = jnp.transpose(o[:, :, :, :D], (0, 2, 1, 3)).astype(out_dtype)
     if squeeze:
         out = out[0]
     if return_lse:
         return (out, lse[:, :, :, 0] if not squeeze else lse[0, :, :, 0])
+    return out
+
+
+def flash_attn_blocksparse_func(
+    q: jax.Array,               # [B, S, Hq, D]
+    k: jax.Array,               # [B, S, Hkv, D]
+    v: jax.Array,
+    block_mask,                 # STATIC bool [ceil(S/bq), ceil(S/bkv)]
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    return_lse: bool = False,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[int] = None,
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Block-sparse attention (BigBird/Longformer/splash-style): softmax runs
+    over exactly the (q block, kv block) pairs whose `block_mask` entry is
+    True (intersected with the causal lower triangle when `causal`). The
+    mask is STATIC host knowledge — like the reference's packing layout —
+    so filtered pairs never enter the sequential TPU grid at all: the cost
+    is proportional to the number of LIVE blocks, not S^2. Shares the
+    work-list kernels with `flash_attn_varlen_func` (the reference's varlen
+    machinery generalized: a varlen segment layout IS a block mask).
+
+    q rows whose every block is masked out return zeros with lse = -inf and
+    propagate zero gradients — same convention as fully-padded rows.
+    Differentiable (fwd+bwd), deterministic, GQA via Hq % Hkv == 0.
+    """
+    B, S, Hq, D = q.shape
+    Hkv = k.shape[2]
+    assert k.shape == (B, S, Hkv, D) and v.shape == k.shape
+    assert Hq % Hkv == 0
+    align = max(block_q, block_kv)
+    S_pad = round_up_to_multiple(S, align)
+    m = np.asarray(block_mask, bool)
+    nq_b, nkv_b = S_pad // block_q, S_pad // block_kv
+    assert m.shape == (nq_b, nkv_b) or m.shape == (
+        (S + block_q - 1) // block_q, (S + block_kv - 1) // block_kv), (
+        f"block_mask {m.shape} != ({nq_b}, {nkv_b})")
+    if m.shape != (nq_b, nkv_b):   # padded tail blocks: dead anyway
+        mm = np.zeros((nq_b, nkv_b), bool)
+        mm[:m.shape[0], :m.shape[1]] = m
+        m = mm
+    scale = (float(softmax_scale) if softmax_scale is not None
+             else default_softmax_scale(D))
+
+    out_dtype = q.dtype
+    if q.dtype == jnp.float16:
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    Dp = round_up_to_multiple(D, 128)
+
+    def pack(x):
+        # [B, S, H, D] -> packed [1, H, B*S_pad, D] (consecutive segments)
+        x = jnp.transpose(x, (0, 2, 1, 3))          # B H S D
+        if S_pad != S:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, S_pad - S), (0, 0)))
+        if Dp != D:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        x = jnp.transpose(x, (1, 0, 2, 3))          # H B S D
+        return x.reshape(1, x.shape[0], B * S_pad, Dp)
+
+    if dropout_p > 0.0:
+        if dropout_seed is not None:
+            seed = jnp.asarray(dropout_seed, jnp.int32)
+        elif dropout_rng is not None:
+            seed = jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        else:
+            raise ValueError(
+                "dropout_p > 0 requires dropout_seed or dropout_rng "
+                "(flash_attn_func's seed contract).")
+    else:
+        seed = jnp.asarray(
+            dropout_seed if dropout_seed is not None else 0, jnp.int32)
+
+    starts = tuple(b * S_pad for b in range(B))
+    lens = (S,) * B
+    meta = (starts, lens, lens, causal, scale, block_q, block_kv,
+            float(dropout_p), encode_block_mask(m))
+    o, lse = _varlen_core(meta, pack(q), pack(k), pack(v), seed)
+
+    def unpack(x):
+        # [1, H, B*S_pad, C] -> [B, S, H, C]
+        H = x.shape[1]
+        x = x.reshape(H, B, S_pad, x.shape[-1])[:, :, :S]
+        return jnp.transpose(x, (1, 2, 0, 3))
+
+    out = unpack(o)[..., :D].astype(out_dtype)
+    if return_lse:
+        return out, unpack(lse)[..., 0].transpose(0, 2, 1)
     return out
