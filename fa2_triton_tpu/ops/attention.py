@@ -206,7 +206,11 @@ def flash_attn_func(
 
     Dp = round_up_to_multiple(D, 128)
     blocks = block_sizes or choose_block_sizes(
-        Sq, Sk, Dp, causal=causal, has_bias=attention_bias is not None,
+        Sq, Sk, Dp,
+        # Post-cast dtype: fp16's default f32 compute means the kernels see
+        # f32 I/O, which halves every VMEM tile budget.
+        dtype_bits=q.dtype.itemsize * 8,
+        causal=causal, has_bias=attention_bias is not None,
         has_window=window_size != (-1, -1),
         has_varlen=attention_mask is not None,
     )

@@ -763,7 +763,7 @@ def flash_attn_backward_causal_strip(
 
 def bwd_causal_strip_ok(causal, static_skip, window, bias, varlen,
                         softcap, Sq, Sk, sq_real, sk_real, head_dim,
-                        sub=512, vmem_budget=4096 * 128):
+                        sub=512, vmem_budget=4096 * 128, dtype_bytes=2):
     """Eligibility for the whole-strip causal backward: the K/V strips plus
     the two whole-strip f32 dk/dv scratch accumulators must fit VMEM
     (~12 bytes/element at bf16 I/O -> Sk*D <= 4096*128 ~ 6.3MB), with the
@@ -773,7 +773,7 @@ def bwd_causal_strip_ok(causal, static_skip, window, bias, varlen,
     public vjp path — a 4KB overflow the estimate can't see."""
     shift = sk_real - sq_real
     return (causal and static_skip and window == (-1, -1) and bias is None
-            and not varlen and softcap == 0.0
+            and not varlen and softcap == 0.0 and dtype_bytes <= 2
             and Sq % sub == 0 and Sk % sub == 0 and Sq >= 2 * sub
             and shift >= 0 and shift % sub == 0 and Sq + shift <= Sk
             and Sk * head_dim < vmem_budget)
@@ -994,7 +994,8 @@ def flash_attn_backward_causal_diag(
     assert Sq == Sk and Sq % T == 0 and T % sub == 0
     n = Sq // T
     if leaves_per_step is None:
-        leaves_per_step = max(1, min(n, (2048 * 128 // (group * D)) // T))
+        leaves_per_step = max(1, min(n, (2048 * 128 * 2 // (
+            group * D * q.dtype.itemsize)) // T))
     while n % leaves_per_step:
         leaves_per_step -= 1
     C = leaves_per_step
@@ -1155,7 +1156,7 @@ def flash_attn_backward_rect(
 
 def causal_split_bwd_ok(causal, static_skip, window, bias, varlen, softcap,
                         Sq, Sk, sq_real, sk_real, head_dim, group,
-                        leaf_t=None):
+                        leaf_t=None, dtype_bytes=2):
     """Eligibility for the split-schedule backward. The diag launch carries
     the whole GQA head group per block (like tri-square bwd), so the leaf
     budget is group*T*head_dim <= 2048*128; leaves below 1024 rows lose to
@@ -1165,7 +1166,8 @@ def causal_split_bwd_ok(causal, static_skip, window, bias, varlen, softcap,
     leaf override allows any n >= 2."""
     from fa2_triton_tpu.ops.flash_fwd import causal_split_ok
 
-    T = leaf_t if leaf_t is not None else bwd_split_leaf_t(head_dim, group)
+    T = leaf_t if leaf_t is not None else bwd_split_leaf_t(
+        head_dim, group, dtype_bytes)
     if T <= 0:
         return False
     base = causal_split_ok(causal, static_skip, window, bias, varlen,
@@ -1181,10 +1183,11 @@ def causal_split_bwd_ok(causal, static_skip, window, bias, varlen, softcap,
     return False
 
 
-def bwd_split_leaf_t(head_dim: int, group: int) -> int:
+def bwd_split_leaf_t(head_dim: int, group: int, dtype_bytes: int = 2) -> int:
     """Largest bwd diagonal leaf fitting the tri-bwd VMEM budget
-    (group * T * head_dim <= 2048 * 128), 0 if below the 1024-row floor."""
-    t = 2048 * 128 // (group * head_dim)
+    (group * T * head_dim * dtype_bytes <= 2048 * 128 * 2), 0 if below the
+    1024-row floor."""
+    t = 2048 * 128 * 2 // (group * head_dim * dtype_bytes)
     t = 1 << (t.bit_length() - 1) if t > 0 else 0  # floor to power of two
     return t if t >= 1024 else 0
 
@@ -1205,7 +1208,8 @@ def _causal_split_backward(
     B, Hq, Sq, D = q.shape
     Hkv = k.shape[1]
     group = Hq // Hkv
-    T = leaf_t if leaf_t is not None else bwd_split_leaf_t(D, group)
+    T = leaf_t if leaf_t is not None else bwd_split_leaf_t(
+        D, group, q.dtype.itemsize)
     n = Sq // T
     sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sq
@@ -1243,7 +1247,8 @@ def _causal_split_backward(
         if ov is not None:
             bq_r, bkv_r, sub_r, u_r = ov
         else:
-            cfg = choose_fused_bwd(nr, nc, D, causal=False)
+            cfg = choose_fused_bwd(nr, nc, D, causal=False,
+                                   dtype_bytes=q.dtype.itemsize)
             bq_r, bkv_r, sub_r, u_r = cfg if cfg is not None else (
                 512, min(nc, 2048), 512, 2)
         dqr, dkr, dvr = flash_attn_backward_rect(
@@ -1666,8 +1671,10 @@ def flash_attn_backward(
         # TFLOP/s effective vs 76/92 for the zigzag fused kernel.
         if (softcap == 0.0
                 and tri_square_ok(causal, static_skip, window, None,
-                                  Sq, Sk, _sq, _sk, head_dim=D)
-                and (Hq // Hkv) * Sq * D <= 2048 * 128):
+                                  Sq, Sk, _sq, _sk, head_dim=D,
+                                  dtype_bytes=q.dtype.itemsize)
+                and (Hq // Hkv) * Sq * D * q.dtype.itemsize
+                <= 2048 * 128 * 2):
             sub_sel = (512 if (Sq * D <= 1024 * 128 and Sq % 512 == 0
                                and Sk % 512 == 0 and (_sk - _sq) % 512 == 0)
                        else 256)
@@ -1682,7 +1689,8 @@ def flash_attn_backward(
         # + dense rects at the fused kernel's non-causal rate, additive.
         ok_split = (causal_split_bwd_ok(causal, static_skip, window, None,
                                         varlen, softcap, Sq, Sk, _sq, _sk,
-                                        D, Hq // Hkv, leaf_t=split_leaf)
+                                        D, Hq // Hkv, leaf_t=split_leaf,
+                                        dtype_bytes=q.dtype.itemsize)
                     and os.environ.get("FA2_DISABLE_SPLIT", "0").lower()
                     not in ("1", "true", "yes"))
         if causal_split if causal_split is not None else ok_split:
@@ -1697,7 +1705,8 @@ def flash_attn_backward(
         # and dk/dv scratch resident): replaces the zigzag fused schedule
         # for causal shapes whose strip fits VMEM.
         if (bwd_causal_strip_ok(causal, static_skip, window, None, varlen,
-                                softcap, Sq, Sk, _sq, _sk, head_dim=D)
+                                softcap, Sq, Sk, _sq, _sk, head_dim=D,
+                                dtype_bytes=q.dtype.itemsize)
                 and os.environ.get("FA2_DISABLE_STRIP", "0").lower()
                 not in ("1", "true", "yes")):
             sub_s, wide_s = 512, 4  # v5e-swept default
@@ -1714,7 +1723,8 @@ def flash_attn_backward(
                 seqlen_q_real=_sq, seqlen_k_real=_sk,
                 dlse=dlse, debug_interpret=debug_interpret,
             )
-        cfg_f = choose_fused_bwd(Sq, Sk, D, causal)
+        cfg_f = choose_fused_bwd(Sq, Sk, D, causal,
+                                 dtype_bytes=q.dtype.itemsize)
         if cfg_f is not None:
             bq_f, bkv_f, sub_f, u_f = cfg_f
             return flash_attn_backward_fused(

@@ -779,7 +779,7 @@ def flash_attn_forward_causal_strip(
 
 def causal_strip_ok(causal, static_skip, window, bias, varlen, Sq, Sk,
                     sq_real, sk_real, head_dim, sub=512,
-                    vmem_budget=8192 * 128, softcap=0.0):
+                    vmem_budget=8192 * 128, softcap=0.0, dtype_bytes=2):
     """Eligibility for the whole-strip causal kernel: K and V strips must
     fit VMEM together (Sk * head_dim each, bf16; budget leaves room for the
     q/o/acc tiles), the shift must be static, non-negative and sub-aligned,
@@ -790,12 +790,17 @@ def causal_strip_ok(causal, static_skip, window, bias, varlen, Sq, Sk,
             and not varlen and softcap == 0.0
             and Sq % sub == 0 and Sk % sub == 0 and Sq >= 2 * sub
             and shift >= 0 and shift % sub == 0 and Sq + shift <= Sk
+            # 2-byte dtypes only: with f32 I/O the resident strips plus the
+            # fixed f32 score tiles measured 17.0M scoped VMEM already at
+            # S=2048 (vs Mosaic's 16M limit) — f32 routes to the block-DMA'd
+            # generic/zigzag schedules instead.
+            and dtype_bytes <= 2
             and Sk * head_dim <= vmem_budget)
 
 
 def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
                   sq_real, sk_real, head_dim=128, sub=256, max_seq=2048,
-                  softcap=0.0):
+                  softcap=0.0, dtype_bytes=2):
     """Eligibility for the static-triangular small-S causal kernel.
 
     The whole (padded) sequence lives in VMEM (q, k, v, o tiles), so the
@@ -805,7 +810,10 @@ def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
     return (causal and static_skip and window == (-1, -1) and bias is None
             and softcap == 0.0
             and Sq <= max_seq and Sk <= max_seq
-            and Sq * head_dim <= 2048 * 128 and Sk * head_dim <= 2048 * 128
+            # Budget in BYTES: the whole q/k/v/o strips are resident, so
+            # f32 I/O halves the admissible sequence.
+            and Sq * head_dim * dtype_bytes <= 2048 * 128 * 2
+            and Sk * head_dim * dtype_bytes <= 2048 * 128 * 2
             and Sq % sub == 0 and Sk % sub == 0
             and (sk_real - sq_real) % sub == 0)
 
@@ -853,18 +861,18 @@ def causal_split_rects(n: int):
     return rects
 
 
-def split_leaf_t(head_dim: int) -> int:
+def split_leaf_t(head_dim: int, dtype_bytes: int = 2) -> int:
     """Largest diagonal leaf whose q/k/v/o strips fit the tri-square VMEM
-    budget (Sq * head_dim <= 2048 * 128, see `tri_square_ok`)."""
-    if head_dim <= 128:
-        return 2048
-    if head_dim <= 256:
-        return 1024
-    return 0
+    budget (Sq * head_dim * dtype_bytes <= 2048 * 128 * 2, see
+    `tri_square_ok`)."""
+    cap = 2048 * 128 * 2 // (head_dim * dtype_bytes)
+    t = 1 << (cap.bit_length() - 1) if cap > 0 else 0
+    return t if t >= 512 else 0
 
 
 def causal_split_ok(causal, static_skip, window, bias, varlen, softcap,
-                    Sq, Sk, sq_real, sk_real, head_dim, leaf_t=None):
+                    Sq, Sk, sq_real, sk_real, head_dim, leaf_t=None,
+                    dtype_bytes=2):
     """Eligibility for the split schedule: square zero-shift causal (the
     training common case), no bias/window/softcap/varlen, and at least two
     leaf triangles. Shifted (sq != sk) causal keeps the strip/zigzag paths.
@@ -876,7 +884,7 @@ def causal_split_ok(causal, static_skip, window, bias, varlen, softcap,
     (S=8192: zigzag 119, split 114; S=16384: zigzag 135, split 124) — the
     diagonal leaves are a fixed ~86-TFLOP/s fraction the rects can't buy
     back. An explicit leaf override (tests, sweeps) allows any n >= 2."""
-    T = leaf_t if leaf_t is not None else split_leaf_t(head_dim)
+    T = leaf_t if leaf_t is not None else split_leaf_t(head_dim, dtype_bytes)
     n_ok = (Sq // T == 2) if (leaf_t is None and T > 0) else (
         T > 0 and Sq // T >= 2)
     return (causal and static_skip and window == (-1, -1) and bias is None
@@ -925,9 +933,11 @@ def flash_attn_forward_causal_diag(
     assert Sq == Sk and Sq % T == 0 and T % sub == 0
     n = Sq // T
     if leaves_per_step is None:
-        # Strip (q,k,v,o + double buffering) VMEM budget: C*T*D <= 2048*128
-        # (C=2 at T=2048/D=128 hit Mosaic's 16M scoped-vmem limit at 24.9M).
-        leaves_per_step = max(1, min(n, (2048 * 128 // D) // T))
+        # Strip (q,k,v,o + double buffering) VMEM budget in BYTES:
+        # C*T*D*itemsize <= 2048*128*2 (C=2 at T=2048/D=128 bf16 hit
+        # Mosaic's 16M scoped-vmem limit at 24.9M; f32 halves the budget).
+        leaves_per_step = max(
+            1, min(n, (2048 * 128 * 2 // (D * q.dtype.itemsize)) // T))
     while n % leaves_per_step:
         leaves_per_step -= 1
     C = leaves_per_step
@@ -1067,7 +1077,8 @@ def _causal_split_forward(
     diagonal-triangles launch + one dense launch per below-diagonal rect,
     merged rowwise with `merge_softmax_partials`."""
     B, Hq, Sq, D = q.shape
-    T = leaf_t if leaf_t is not None else split_leaf_t(D)
+    T = leaf_t if leaf_t is not None else split_leaf_t(
+        D, q.dtype.itemsize)
     n = Sq // T
     sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sq
@@ -1090,14 +1101,16 @@ def _causal_split_forward(
     for (r0u, c0u, nru, ncu) in causal_split_rects(n):
         r0, c0, nr, nc = r0u * T, c0u * T, nru * T, ncu * T
         ov = autotune_lookup("rect_fwd", False, D, nc)
-        if ov is not None:
+        if ov is not None and q.dtype.itemsize <= 2:
             bq_r, bkv_r, u_r = ov
-        elif nc <= 2048 and nr % 1024 == 0 and D <= 128:
+        elif (nc <= 2048 and nr % 1024 == 0 and D <= 128
+              and q.dtype.itemsize <= 2):
             # v5e sweep: tall blocks win on narrow strips — (1024, 2048, u1)
             # measured 115.7 overall vs 112.7 with the dense-table default.
             bq_r, bkv_r, u_r = 1024, nc, 1
         else:
-            blocks = choose_block_sizes(nr, nc, D, causal=False)
+            blocks = choose_block_sizes(
+                nr, nc, D, dtype_bits=q.dtype.itemsize * 8, causal=False)
             bq_r, bkv_r, u_r = (blocks.block_q, blocks.block_kv,
                                 blocks.unroll_kv)
         o_r, lse_r = flash_attn_forward_rect(
@@ -1164,7 +1177,8 @@ def flash_attn_forward(
     # Short causal sequences use the fully-static triangular kernel (one
     # grid step per (batch, head)): measured 54 -> ~90 TFLOP/s at S=1024.
     ok_tri = tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
-                           sq_real, sk_real, head_dim=D, softcap=softcap)
+                           sq_real, sk_real, head_dim=D, softcap=softcap,
+                           dtype_bytes=q.dtype.itemsize)
     if tri_square if tri_square is not None else ok_tri:
         assert ok_tri, "tri_square forced but preconditions not met"
         return flash_attn_forward_tri_square(
@@ -1181,7 +1195,8 @@ def flash_attn_forward(
     # diagonal triangles + dense below-diagonal rects at non-causal peak.
     ok_split = (causal_split_ok(causal, static_skip, window, bias, varlen,
                                 softcap, Sq, Sk, sq_real, sk_real, D,
-                                leaf_t=split_leaf)
+                                leaf_t=split_leaf,
+                                dtype_bytes=q.dtype.itemsize)
                 and os.environ.get("FA2_DISABLE_SPLIT", "0").lower()
                 not in ("1", "true", "yes"))
     if causal_split if causal_split is not None else ok_split:
@@ -1199,7 +1214,8 @@ def flash_attn_forward(
     # the strip fits VMEM.
     ok_strip = (causal_strip_ok(causal, static_skip, window, bias, varlen,
                                 Sq, Sk, sq_real, sk_real, head_dim=D,
-                                softcap=softcap)
+                                softcap=softcap,
+                                dtype_bytes=q.dtype.itemsize)
                 and os.environ.get("FA2_DISABLE_STRIP", "0").lower()
                 not in ("1", "true", "yes"))
     if causal_strip if causal_strip is not None else ok_strip:

@@ -68,7 +68,12 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
     # Portability: the constants below are the v5e-swept prior; a persisted
     # per-chip table from `bench.py --tune` overrides them (ops/autotune.py).
     warn_if_unswept()
-    if not (has_bias or has_window or has_varlen):
+    # The swept tables (persisted and baked-in) assume 2-byte kernel I/O;
+    # f32 I/O doubles every resident tile, so those configs overflow
+    # Mosaic's 16M scoped-VMEM limit (measured: causal zigzag (1024, 1024,
+    # u1) f32 at S=4096 -> 16.8M). Wide dtypes skip the lookup and get a
+    # clamp at the end instead.
+    if not (has_bias or has_window or has_varlen) and dtype_bits <= 16:
         ov = lookup("fwd", causal, head_dim_padded, max(seqlen_q, seqlen_k))
         if ov is not None:
             bq, bkv, u = ov
@@ -110,6 +115,8 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
             # skipping (bench.py --mode varlen: ~2x at 50% padding).
             bkv = _waste_aware(seqlen_k, (1024, 512, 256, 128))
             bq = _waste_aware(seqlen_q, (512, 256, 128))
+            if dtype_bits >= 32:
+                bq, bkv = min(bq, 512), min(bkv, 512)
             return BlockSizes(block_q=bq, block_kv=bkv,
                               block_q_bwd=bq, block_kv_bwd=bkv,
                               unroll_kv=1, unroll_bwd=2)
@@ -139,6 +146,13 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
             unroll_kv = 8
     else:
         bq, bkv = 128, 256
+    if dtype_bits >= 32:
+        # Halve the tile budget for f32 I/O (see the lookup note above):
+        # causal keeps square (zigzag) tiles at 512; dense keeps a 2048-wide
+        # strip with 1024-sub unrolled chains (~9M scoped, measured OK).
+        bq = min(bq, 512)
+        bkv = min(bkv, 512 if (causal or has_bias) else 2048)
+        unroll_kv = min(unroll_kv, max(1, bkv // 1024))
     bq = min(bq, round_up_to_multiple(max(seqlen_q, 1), 128))
     bkv = min(bkv, round_up_to_multiple(max(seqlen_k, 1), 128))
     # Backward (v5e sweep, benchmarks/tune_bwd.py): (512, 2048, unroll 2)
@@ -147,6 +161,8 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
     # padding serves both passes (all powers of two).
     if head_dim_padded <= 128:
         bq_b, bkv_b = (1024, 1024) if causal else (512, 2048)
+        if dtype_bits >= 32:
+            bq_b, bkv_b = 512, 512
         bq_b = min(bq_b, round_up_to_multiple(max(seqlen_q, 1), 128))
         bkv_b = min(bkv_b, round_up_to_multiple(max(seqlen_k, 1), 128))
         bq_b, bkv_b = _compatible(bq, bq_b), _compatible(bkv, bkv_b)
@@ -159,7 +175,8 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
 
 
 def choose_fused_bwd(seqlen_q_pad: int, seqlen_k_pad: int,
-                     head_dim_padded: int, causal: bool):
+                     head_dim_padded: int, causal: bool,
+                     dtype_bytes: int = 2):
     """Config for the fused single-launch backward, or None to use the
     two-pass kernels. Values from the v5e sweeps (benchmarks/tune_bwd_fused.py,
     B=4 H=32 D=128 bf16): non-causal S=4096 -> (512, 4096, 1024, u2) 157
@@ -182,6 +199,12 @@ def choose_fused_bwd(seqlen_q_pad: int, seqlen_k_pad: int,
     # sweep confirms: fused (512, 2048, 512) = 148 TFLOP/s bwd vs 132
     # two-pass).
     bkv_max = 4 * 1024 * 1024 // (2 * 4 * head_dim_padded)
+    if dtype_bytes >= 4:
+        # f32 I/O doubles the resident q/do/k/v tiles; a (512, 3072, ...)
+        # f32 launch measured 17.5M scoped VMEM vs Mosaic's 16M limit, and
+        # (512, 2048, 512) f32 with two KV strips still lands 16.3M — so a
+        # quarter of the bf16 strip budget.
+        bkv_max //= 4
     if seqlen_k_pad <= bkv_max:
         bkv = seqlen_k_pad
     else:

@@ -154,7 +154,9 @@ def _chunk_call_fwd(cfg, scale, seed, S_tot, qT, k_c, v_c, q_off, kv_off,
     B = qT.shape[0]
     S_loc = qT.shape[2]
     Dp = qT.shape[3]
-    blocks = choose_block_sizes(S_loc, S_loc, Dp, causal=diag and cfg.causal)
+    blocks = choose_block_sizes(S_loc, S_loc, Dp,
+                                dtype_bits=qT.dtype.itemsize * 8,
+                                causal=diag and cfg.causal)
     lens = jnp.broadcast_to(jnp.array([[S_tot, S_tot]], jnp.int32), (B, 2))
     general_window = cfg.window != (-1, -1)
     if general_window:
@@ -393,7 +395,9 @@ def _bwd_pair(cfg, scale, seed, S_tot, qT, k_c, v_c, doT, oT, lse, dlse,
         causal, static_skip = True, True
     else:
         causal, static_skip = False, False
-    blocks = choose_block_sizes(S_loc, S_loc, qT.shape[3], causal=causal)
+    blocks = choose_block_sizes(S_loc, S_loc, qT.shape[3],
+                                dtype_bits=qT.dtype.itemsize * 8,
+                                causal=causal)
     return flash_attn_backward(
         qT, k_c, v_c, doT, oT, lse, lens,
         _scalars(q_off, kv_off, seed), None,

@@ -161,6 +161,18 @@ def test_tuning_tables_sane():
                     assert Sp % bq == 0 and Skp % bkv == 0 and bkv % sub == 0
                     # dk/dv f32 scratch stays within the VMEM budget.
                     assert 2 * bkv * D * 4 <= 8 * 1024 * 1024
+                # f32 I/O halves every tile budget (measured: the bf16-swept
+                # causal (1024, 1024) config at f32 overflows Mosaic's 16M
+                # scoped limit by 820K): blocks and the fused-bwd KV strip
+                # must shrink.
+                bs32 = choose_block_sizes(S, S, D, dtype_bits=32,
+                                          causal=causal, **kw)
+                for bq_, bkv_ in ((bs32.block_q, bs32.block_kv),
+                                  (bs32.block_q_bwd, bs32.block_kv_bwd)):
+                    assert bq_ * bkv_ * 4 <= 4 * 1024 * 1024, (S, D, causal)
+                cfg32 = choose_fused_bwd(Sp, Skp, D, causal, dtype_bytes=4)
+                if cfg32 is not None:
+                    assert cfg32[1] * D * 4 <= 4 * 1024 * 1024
 
 
 def test_autotune_table_roundtrip(tmp_path, monkeypatch):

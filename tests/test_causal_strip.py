@@ -10,6 +10,16 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# Strip kernels keep whole K/V strips resident, which only fits VMEM for
+# 2-byte dtypes (f32 strips measured 17M+ scoped vs Mosaic's 16M limit) —
+# the eligibility gates are dtype-aware, so these kernel-vs-kernel tests
+# run in bf16 on every platform with bf16-rounding-scale tolerances (the
+# routes share f32 accumulation; only the output stores round).
+_DT = jnp.bfloat16
+_TOL_O = 2e-2
+_TOL_L = 1e-2
+_TOL_G = 4e-2
+
 from fa2_triton_tpu import flash_attn_func, flash_attn_reference
 from fa2_triton_tpu.ops.flash_bwd import (
     bwd_causal_strip_ok,
@@ -56,16 +66,16 @@ def test_strip_sub_wide_variants(sub, wide):
 
     B, H, S, D = 1, 2, 2048, 128
     ks = jax.random.split(jax.random.PRNGKey(2), 3)
-    q = jax.random.normal(ks[0], (B, H, S, D), jnp.float32) * 0.5
-    k = jax.random.normal(ks[1], (B, H, S, D), jnp.float32) * 0.5
-    v = jax.random.normal(ks[2], (B, H, S, D), jnp.float32) * 0.5
+    q = jax.random.normal(ks[0], (B, H, S, D), _DT) * 0.5
+    k = jax.random.normal(ks[1], (B, H, S, D), _DT) * 0.5
+    v = jax.random.normal(ks[2], (B, H, S, D), _DT) * 0.5
     lens = jnp.broadcast_to(jnp.array([[S, S]], jnp.int32), (B, 2))
     scal = jnp.array([[0, 0, 7, 0]], jnp.int32)
     kw = dict(softmax_scale=D ** -0.5, seqlen_q_real=S, seqlen_k_real=S)
     o1, l1 = flash_attn_forward_causal_strip(
         q, k, v, lens, scal, sub=sub, wide=wide, **kw)
     o2, l2 = flash_attn_forward_causal_strip(q, k, v, lens, scal, **kw)
-    assert _err(o1, o2) < 1e-6 and _err(l1, l2) < 1e-5
+    assert _err(o1, o2) < _TOL_O and _err(l1, l2) < _TOL_L
 
 
 @pytest.mark.parametrize("dropout_p", [0.0, 0.2])
@@ -77,10 +87,10 @@ def test_strip_matches_generic_kernels(dropout_p, shift_blocks):
     Sk = 2048
     Sq = Sk - shift_blocks * 512
     ks = jax.random.split(jax.random.PRNGKey(1), 4)
-    q = jax.random.normal(ks[0], (B, Hq, Sq, D), jnp.float32) * 0.5
-    k = jax.random.normal(ks[1], (B, Hkv, Sk, D), jnp.float32) * 0.5
-    v = jax.random.normal(ks[2], (B, Hkv, Sk, D), jnp.float32) * 0.5
-    do = jax.random.normal(ks[3], (B, Hq, Sq, D), jnp.float32) * 0.5
+    q = jax.random.normal(ks[0], (B, Hq, Sq, D), _DT) * 0.5
+    k = jax.random.normal(ks[1], (B, Hkv, Sk, D), _DT) * 0.5
+    v = jax.random.normal(ks[2], (B, Hkv, Sk, D), _DT) * 0.5
+    do = jax.random.normal(ks[3], (B, Hq, Sq, D), _DT) * 0.5
     lens = jnp.broadcast_to(jnp.array([[Sq, Sk]], jnp.int32), (B, 2))
     scal = jnp.array([[0, 0, 7, 0]], jnp.int32)
     scale = D ** -0.5
@@ -93,7 +103,7 @@ def test_strip_matches_generic_kernels(dropout_p, shift_blocks):
                                 causal_strip=False, tri_square=False,
                                 block_q=512, block_kv=512, unroll_kv=1,
                                 **common)
-    assert _err(o1, o2) < 1e-6 and _err(l1, l2) < 1e-5
+    assert _err(o1, o2) < _TOL_O and _err(l1, l2) < _TOL_L
 
     g1 = flash_attn_backward_causal_strip(
         q, k, v, do, o1, l1, lens, scal, softmax_scale=scale,
@@ -102,4 +112,4 @@ def test_strip_matches_generic_kernels(dropout_p, shift_blocks):
         q, k, v, do, o1, l1, lens, scal, None, block_q=512, block_kv=512,
         fused=False, **common)
     for a, b, name in zip(g1, g2, ("dq", "dk", "dv")):
-        assert _err(a, b) < 5e-5, (name, _err(a, b))
+        assert _err(a, b) < _TOL_G, (name, _err(a, b))
