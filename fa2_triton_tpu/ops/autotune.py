@@ -91,7 +91,40 @@ def lookup(kind: str, causal: bool, head_dim: int, seqlen: int,
         return None
     chip = chip or detect_chip()
     entry = _load_table(chip).get(_key(kind, causal, head_dim, seqlen))
+    if entry is None and os.environ.get("FA2_TUNE_ON_MISS"):
+        entry = _tune_on_miss(kind, causal, head_dim, seqlen, chip)
     return tuple(entry) if entry is not None else None
+
+
+# Pluggable micro-sweep runner (tests substitute a fake; None = real one).
+_sweep_runner = None
+_misses_in_progress: set = set()
+
+
+def _tune_on_miss(kind: str, causal: bool, head_dim: int, seqlen: int,
+                  chip: str):
+    """`triton.autotune`'s on-first-use behavior, opt-in via
+    FA2_TUNE_ON_MISS=1: sweep a small candidate list for this unswept
+    (chip, kind, head_dim, seqlen-bucket) key ONCE on the current device and
+    persist the winner (the reference autotunes at first launch per cache
+    key, `/root/reference/src/forward/kernel.py:35-53`)."""
+    if chip in ("cpu", "unknown"):
+        return None  # interpret-mode timing would tune garbage
+    key = _key(kind, causal, head_dim, seqlen)
+    if key in _misses_in_progress:
+        return None  # the sweep itself dispatches kernels — don't recurse
+    _misses_in_progress.add(key)
+    try:
+        runner = _sweep_runner
+        if runner is None:
+            from fa2_triton_tpu.ops.microsweep import run_micro_sweep
+            runner = run_micro_sweep
+        best = runner(kind, causal, head_dim, _bucket(seqlen))
+        if best is not None:
+            record(kind, causal, head_dim, seqlen, tuple(best), chip=chip)
+        return best
+    finally:
+        _misses_in_progress.discard(key)
 
 
 def record(kind: str, causal: bool, head_dim: int, seqlen: int,

@@ -14,23 +14,32 @@ from typing import Optional
 
 import jax
 
-# Per-chip ceilings (bf16 FLOP/s, HBM bytes/s). Extend as needed.
+# One chip detector for the whole package (autotune's normalized names:
+# 'v4', 'v5e', 'v5p', 'v6e', 'cpu', ...).
+from fa2_triton_tpu.ops.autotune import detect_chip
+
+# Per-chip ceilings (bf16 FLOP/s, HBM bytes/s), from the public TPU
+# datasheets. Extend as needed.
 CHIP_SPECS = {
     "v5e": {"bf16_flops": 197e12, "hbm_bw": 819e9, "vmem_bytes": 128 << 20},
     "v5p": {"bf16_flops": 459e12, "hbm_bw": 2765e9, "vmem_bytes": 128 << 20},
     "v4": {"bf16_flops": 275e12, "hbm_bw": 1228e9, "vmem_bytes": 128 << 20},
+    "v6e": {"bf16_flops": 918e12, "hbm_bw": 1638e9, "vmem_bytes": 128 << 20},
 }
 
 
-def detect_chip() -> str:
-    kind = jax.devices()[0].device_kind.lower()
-    if "v5 lite" in kind or "v5e" in kind:
-        return "v5e"
-    if "v5" in kind:
-        return "v5p"
-    if "v4" in kind:
-        return "v4"
-    return "v5e"
+def chip_spec(chip: Optional[str] = None) -> dict:
+    """Ceilings for `chip` (detected if None). Unknown chips fall back to
+    v5e with a one-time warning rather than silently mis-scoring — the same
+    contract as the tuning-table fallback (`ops/autotune.py`)."""
+    c = chip or detect_chip()
+    if c not in CHIP_SPECS:
+        import warnings
+
+        warnings.warn(
+            f"no roofline specs for chip {c!r}; scoring against v5e ceilings")
+        return CHIP_SPECS["v5e"]
+    return CHIP_SPECS[c]
 
 
 @contextlib.contextmanager
@@ -60,13 +69,13 @@ class RooflineReport:
 
     @property
     def compute_bound(self) -> bool:
-        spec = CHIP_SPECS[self.chip]
+        spec = chip_spec(self.chip)
         return (self.flops / spec["bf16_flops"]) > (self.bytes_moved / spec["hbm_bw"])
 
     @property
     def utilization(self) -> float:
         """Fraction of the binding resource's ceiling achieved."""
-        spec = CHIP_SPECS[self.chip]
+        spec = chip_spec(self.chip)
         t_ideal = max(self.flops / spec["bf16_flops"],
                       self.bytes_moved / spec["hbm_bw"])
         return t_ideal / self.time_s

@@ -209,3 +209,60 @@ def test_autotune_table_roundtrip(tmp_path, monkeypatch):
     assert autotune.lookup("fwd", False, 128, 4096, chip=chip) is None
     monkeypatch.delenv("FA2_DISABLE_TUNING_TABLE")
     autotune._load_table.cache_clear()
+
+
+def test_tune_on_miss_fake_chip(tmp_path, monkeypatch):
+    """FA2_TUNE_ON_MISS=1: a lookup miss on a fresh chip runs the micro-sweep
+    once and persists the winner (VERDICT r4 item 7: the true
+    `triton.autotune` analog — first call on a fresh chip writes entries)."""
+    from fa2_triton_tpu.ops import autotune
+
+    monkeypatch.setenv("FA2_TUNING_DIR", str(tmp_path))
+    monkeypatch.setenv("FA2_TUNE_ON_MISS", "1")
+    monkeypatch.delenv("FA2_DISABLE_TUNING_TABLE", raising=False)
+    autotune._load_table.cache_clear()
+
+    calls = []
+
+    def fake_runner(kind, causal, head_dim, seqlen):
+        calls.append((kind, causal, head_dim, seqlen))
+        return (256, 1024, 1)
+
+    monkeypatch.setattr(autotune, "_sweep_runner", fake_runner)
+
+    # Miss on a fake chip -> sweep runs, winner persisted + returned.
+    got = autotune.lookup("fwd", False, 128, 4096, chip="v9z")
+    assert got == (256, 1024, 1)
+    assert calls == [("fwd", False, 128, 4096)]
+    assert (tmp_path / "tuning_v9z.json").exists()
+
+    # Second lookup: persisted entry, no new sweep.
+    got2 = autotune.lookup("fwd", False, 128, 4096, chip="v9z")
+    assert got2 == (256, 1024, 1)
+    assert len(calls) == 1
+
+    # cpu/unknown chips never auto-sweep (interpret-mode timing is garbage).
+    assert autotune.lookup("fwd", False, 128, 2048, chip="cpu") is None
+    assert len(calls) == 1
+
+    # Bucketing: the sweep is keyed (and run) on the bucket ceiling.
+    autotune.lookup("fwd", True, 128, 3000, chip="v9z")
+    assert calls[-1] == ("fwd", True, 128, 4096)
+    autotune._load_table.cache_clear()
+
+
+def test_micro_sweep_candidates_shapes():
+    """Candidate lists respect per-kind constraints without touching a
+    device."""
+    from fa2_triton_tpu.ops.microsweep import candidates
+
+    for cfg in candidates("fwd", False, 128, 4096):
+        assert len(cfg) == 3
+    for bq, bkv, sub, u in candidates("fused_bwd", False, 256, 4096):
+        # f32 dk/dv scratch cap at D=256 is bkv <= 2048.
+        assert bkv <= 2048 and sub <= bkv
+    # strip kinds drop out when S*D exceeds the VMEM strip budget.
+    assert candidates("strip_bwd", True, 128, 8192) == ()
+    assert candidates("strip_fwd", True, 128, 4096) != ()
+    # unknown kinds -> no sweep.
+    assert candidates("diag_fwd", True, 128, 2048) == ()
