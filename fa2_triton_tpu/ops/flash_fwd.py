@@ -106,8 +106,16 @@ def _fwd_kernel(
                             # online-softmax rule IN KERNEL (the split
                             # schedule's XLA-level merge measured +1.3 ms at
                             # S=4096 when the lse output is live)
+    first_kv_block_fn=None,  # banded sliding window: grid dim 3 is the BAND
+                            # step; the true kv block is first(iq) + step, so
+                            # blocks strictly left of the window never enter
+                            # the grid — O(S*W) compute, not O(S^2)
 ):
     b, h, iq, ik = (pl.program_id(i) for i in range(4))
+    banded = first_kv_block_fn is not None
+    if banded:
+        w_band = ik
+        ik = first_kv_block_fn(iq) + w_band
     # ---- zigzag causal schedule -------------------------------------------
     # A rectangular (row block, kv block) grid wastes nearly half its steps
     # on causal masks: early rows need one KV block, late rows need them
@@ -143,7 +151,7 @@ def _fwd_kernel(
     # S=4096 bkv=4096) — the scratch RMW apparently gives Mosaic's scheduler
     # useful slack — so the state machine runs unconditionally.
     init_cond = (jnp.logical_or(w == 0, w == wa_a + 1) if zigzag
-                 else ik == 0)
+                 else (w_band == 0 if banded else ik == 0))
 
     @pl.when(init_cond)
     def _init():
@@ -1369,12 +1377,15 @@ def flash_attn_forward(
     # q=kv) padding mask the per-batch shift is exactly 0 and sq_real ==
     # sk_real. The caller asserts this via `static_skip`.
     last_kv_fn = None
+    first_kv_fn = None
+    nw = nkv
     split_diag = False
-    if causal and static_skip and not use_zigzag:
+    if (causal or window[1] >= 0) and static_skip and not use_zigzag:
         shift_static = sk_real - sq_real
+        right_static = 0 if causal else window[1]
 
         def last_kv_fn(iq):
-            last_col = iq * block_q + block_q - 1 + shift_static
+            last_col = iq * block_q + block_q - 1 + shift_static + right_static
             return jnp.clip(last_col // block_kv, 0, nkv - 1)
 
         # Diagonal-confinement: when row blocks and the causal shift are
@@ -1386,12 +1397,46 @@ def flash_attn_forward(
             and block_kv % block_q == 0
             and shift_static % block_q == 0
         )
+    if window[0] >= 0 and static_skip and not use_zigzag:
+        # Banded sliding window: blocks strictly LEFT of the window never
+        # enter the grid — grid dim 3 becomes the band step and the kv block
+        # index is first(iq) + step, making windowed prefill O(S*W) compute
+        # (the reference runs windows oracle-only,
+        # `/root/reference/src/reference_implementation.py:8-35`; round-4
+        # kernels masked but still walked every block).
+        shift_w = sk_real - sq_real
+        left_static = window[0]
+
+        def first_kv_fn(iq):
+            first_col = iq * block_q + shift_w - left_static
+            return jnp.clip(first_col // block_kv, 0, nkv - 1)
+
+        def _first_py(i):
+            return min(max((i * block_q + shift_w - left_static)
+                           // block_kv, 0), nkv - 1)
+
+        def _last_py(i):
+            if not (causal or window[1] >= 0):
+                return nkv - 1
+            lc = (i * block_q + block_q - 1 + shift_w
+                  + (0 if causal else window[1]))
+            return min(max(lc // block_kv, 0), nkv - 1)
+
+        nw = max(_last_py(i) - _first_py(i) + 1 for i in range(nq))
+        if last_kv_fn is None:
+            # Left-only window: bound compute to real blocks so overshoot
+            # band steps (rows whose band clips at the right edge) skip.
+            def last_kv_fn(iq):
+                return nkv - 1
 
     # KV index clamp: combines the static causal-diagonal limit with the
     # per-batch dynamic length limit (varlen — index maps read the
     # scalar-prefetched lens/scalars), so skipped blocks re-address the last
     # needed block and no new DMA is issued.
     def _clamp_ik(ik, iq, b, lens_ref=None, scal_ref=None):
+        if first_kv_fn is not None:
+            # Banded window: grid dim 3 is the band step.
+            ik = jnp.minimum(first_kv_fn(iq) + ik, nkv - 1)
         if last_kv_fn is not None:
             ik = jnp.minimum(ik, last_kv_fn(iq))
         if lens_ref is not None:
@@ -1472,8 +1517,9 @@ def flash_attn_forward(
         zigzag=use_zigzag,
         num_q_blocks=nq,
         shift_static=(sk_real - sq_real) if use_zigzag else 0,
+        first_kv_block_fn=first_kv_fn,
     )
-    grid = (B, Hq, npairs, nsteps) if use_zigzag else (B, Hq, nq, nkv)
+    grid = (B, Hq, npairs, nsteps) if use_zigzag else (B, Hq, nq, nw)
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),

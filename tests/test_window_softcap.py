@@ -70,3 +70,40 @@ def test_decode_attention_odd_cache_extent():
     out = decode_attention(q, k, v, lens)  # 640 % 4096 != 0 -> shrink
     assert out.shape == (2, 4, 128)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.parametrize("window_size,causal", [
+    ((256, 0), True),     # Mistral-style causal sliding window
+    ((256, -1), False),   # left-only, non-causal
+    ((192, 64), False),   # two-sided
+])
+def test_banded_window_kernel_parity(window_size, causal):
+    """The banded grid (kv block = first(iq) + band step; blocks left of the
+    window never enter the grid) must be numerically identical to the full
+    grid: small blocks force several whole blocks OUTSIDE the window."""
+    import jax
+    import jax.numpy as jnp
+
+    from fa2_triton_tpu.ops.flash_fwd import flash_attn_forward
+    from tests.utils import generate_test_data
+
+    B, Hq, Hkv, S, D = 2, 4, 2, 1024, 128
+    q, k, v, _ = generate_test_data(B, Hq, Hkv, S, S, D, jnp.float32)
+    qT, kT, vT = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    lens = jnp.broadcast_to(jnp.array([[S, S]], jnp.int32), (B, 2))
+    scal = jnp.array([[0, 0, 0, 0]], jnp.int32)
+
+    def run(static_skip):
+        # static_skip=False disables the band, giving the full-grid result.
+        return flash_attn_forward(
+            qT, kT, vT, lens, scal, None, causal=causal,
+            softmax_scale=D ** -0.5, window=window_size,
+            block_q=128, block_kv=128,
+            seqlen_q_real=S, seqlen_k_real=S, static_skip=static_skip)
+
+    o_band, lse_band = run(True)
+    o_full, lse_full = run(False)
+    assert float(jnp.max(jnp.abs(o_band - o_full))) < 1e-6
+    fin = jnp.isfinite(lse_full)
+    assert bool(jnp.all(fin == jnp.isfinite(lse_band)))
+    assert float(jnp.max(jnp.abs(jnp.where(fin, lse_band - lse_full, 0.0)))) < 1e-5
