@@ -31,6 +31,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1675,6 +1676,338 @@ def flash_attn_backward_fused(
     )(lens, scalars, q, k_p, v, do, lse, delta, *args_extra)
 
     dq = dq_part[0] if nkv == 1 else jnp.sum(dq_part, axis=0).astype(q.dtype)
+    return dq, dk, dv
+
+
+# ---------------- work-list fused backward (static schedules) --------------
+#
+# The zigzag/staircase grids above encode ONE schedule in index arithmetic;
+# this variant moves the schedule into a host-built int32 table prefetched to
+# SMEM (the `ops/varlen.py` work-list mechanism applied to the fused
+# 5-matmul backward). Every grid step is real work — no idle causal steps at
+# ANY strip count, no per-step index algebra, and windows band for free — and
+# the multi-strip dq problem is solved in VMEM: a whole-sequence f32 dq
+# accumulator (Sq*D*4 bytes) replaces the (nkv, B, H, Sq, D) f32 HBM
+# partials whose write+reduce traffic dominated causal S=8192 (measured
+# ~20 ms of the 56 ms backward).
+
+WL_INIT_DQ, WL_WRITE_DQ, WL_COMPUTE = 1, 2, 4
+WL_MASK_GEN, WL_INIT_KV, WL_WRITE_KV, WL_MASK_TRI = 8, 16, 32, 64
+
+
+def build_causal_bwd_worklist(
+    nq: int, block_q: int, sub: int, nws: int, nsub_strip: int,
+    group: int, shift: int, window=(-1, -1), causal=True,
+    tri_ok=False, dq_whole=False,
+) -> np.ndarray:
+    """Static schedule: strip-major, then group member, then ascending rows,
+    each row walking exactly its in-window/in-causal kv sub-tiles within the
+    strip. Returns int32 [nsteps, 8]:
+    (g, iq, ws_global, flags, strip, 0, 0, 0)."""
+    right = 0 if causal else (window[1] if window[1] >= 0 else None)
+    rows = []
+    for iq in range(nq):
+        lo = 0
+        if window[0] >= 0:
+            lo = max(0, (iq * block_q + shift - window[0]) // sub)
+        hi = nws - 1
+        if right is not None:
+            hi = min(hi, max(0, (iq * block_q + block_q - 1 + shift + right)
+                             // sub))
+        rows.append((lo, hi))
+    steps = []
+    nkv = (nws + nsub_strip - 1) // nsub_strip
+    row_seen = [[False] * nq for _ in range(group)]
+    for strip in range(nkv):
+        s_lo, s_hi = strip * nsub_strip, min(nws, (strip + 1) * nsub_strip) - 1
+        strip_steps = []
+        for g in range(group):
+            for iq in range(nq):
+                lo, hi = max(rows[iq][0], s_lo), min(rows[iq][1], s_hi)
+                for ws in range(lo, hi + 1):
+                    flags = WL_COMPUTE
+                    col_lo, col_hi = ws * sub, (ws + 1) * sub - 1
+                    below = (right is not None
+                             and col_hi <= iq * block_q + shift
+                             + (0 if causal else right))
+                    if causal:
+                        below = col_hi <= iq * block_q + shift
+                    right_of_window = (
+                        window[0] < 0
+                        or col_lo >= iq * block_q + (block_q - 1)
+                        + shift - window[0])
+                    if not (below and right_of_window):
+                        is_diag_tile = (causal and tri_ok and window[0] < 0
+                                        and ws == rows[iq][1]
+                                        and col_lo > iq * block_q + shift
+                                        - sub)
+                        flags |= WL_MASK_TRI if is_diag_tile else WL_MASK_GEN
+                    if not dq_whole and not row_seen[g][iq]:
+                        flags |= WL_INIT_DQ
+                        row_seen[g][iq] = True
+                    strip_steps.append([g, iq, ws, flags, strip, 0, 0, 0])
+        if strip_steps:
+            strip_steps[0][3] |= WL_INIT_KV
+            strip_steps[-1][3] |= WL_WRITE_KV
+            steps.extend(strip_steps)
+    # dq writes: per-row mode writes at the row's LAST step overall;
+    # whole-dq mode initializes everything at step 0 and writes at the end.
+    if dq_whole:
+        steps[0][3] |= WL_INIT_DQ
+        steps[-1][3] |= WL_WRITE_DQ
+    else:
+        last_step = {}
+        for i, st in enumerate(steps):
+            if st[3] & WL_COMPUTE:
+                last_step[(st[0], st[1])] = i
+        for i in last_step.values():
+            steps[i][3] |= WL_WRITE_DQ
+    return np.asarray(steps, np.int32)
+
+
+def _bwd_fused_wl_kernel(
+    tbl_ref, lens_ref, scal_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, tri_ref,
+    dk_ref, dv_ref, dq_ref,
+    dk_scr, dv_scr, dq_scr,
+    *,
+    scale, window, softcap, dropout_p, causal,
+    block_q, sub, nsub_strip,
+    seqlen_q_real, seqlen_k_real, num_q_heads, group,
+    need_edge_mask, dq_whole, unroll,
+):
+    b, hkv, s = (pl.program_id(i) for i in range(3))
+    g = tbl_ref[s, 0]
+    iq = tbl_ref[s, 1]
+    ws = tbl_ref[s, 2]
+    flags = tbl_ref[s, 3]
+    strip = tbl_ref[s, 4]
+    h = hkv * group + g
+    q_len = lens_ref[b, 0]
+    kv_len = lens_ref[b, 1]
+    q_off = scal_ref[0, 0]
+    kv_off = scal_ref[0, 1]
+    seed = scal_ref[0, 2]
+
+    @pl.when((flags & WL_INIT_KV) != 0)
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when((flags & WL_INIT_DQ) != 0)
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    sub_q = block_q // unroll
+    w_in = ws - strip * nsub_strip
+
+    def _body(masked, tri):
+        k = k_ref[0, 0]          # (sub, D) prescaled by scale*log2e
+        v = v_ref[0, 0]
+        for u in range(unroll):
+            sl = slice(u * sub_q, (u + 1) * sub_q)
+            q = q_ref[0, 0, sl]
+            do = do_ref[0, 0, sl]
+            p_drop, ds, _ = _recompute_p_and_ds(
+                q, k, v, do, lse_ref[0, 0, sl], delta_ref[0, 0, sl],
+                scale=scale, causal=causal, window=window, softcap=softcap,
+                dropout_p=dropout_p, bias_blk=None,
+                row_lo=q_off + iq * block_q + u * sub_q,
+                col_lo=kv_off + ws * sub,
+                q_len=q_len, kv_len=kv_len, shift=kv_len - q_len,
+                block_q=sub_q, block_kv=sub,
+                seed=seed, b=b, h=h, num_q_heads=num_q_heads,
+                seqlen_q_real=seqlen_q_real, seqlen_k_real=seqlen_k_real,
+                need_edge_mask=need_edge_mask,
+                need_diag_mask=masked,
+                tri_blk=(tri_ref[0, 0, sl].astype(jnp.float32)
+                         if tri else None),
+            )
+            wsl = pl.ds(w_in * sub, sub)
+            dv_scr[wsl] += jax.lax.dot_general(
+                p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(do),
+            )
+            dk_scr[wsl] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(q),
+            )
+            dq_add = jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(k),
+            )
+            if dq_whole:
+                dq_scr[pl.ds(iq * block_q + u * sub_q, sub_q)] += dq_add
+            else:
+                dq_scr[sl] += dq_add
+
+    pl.when((flags & (WL_MASK_GEN | WL_MASK_TRI)) == 0)(
+        functools.partial(_body, masked=False, tri=False))
+    pl.when((flags & WL_MASK_GEN) != 0)(
+        functools.partial(_body, masked=True, tri=False))
+    if tri_ref is not None:
+        pl.when((flags & WL_MASK_TRI) != 0)(
+            functools.partial(_body, masked=False, tri=True))
+
+    @pl.when((flags & WL_WRITE_DQ) != 0)
+    def _write_dq():
+        # k carried scale*log2e; dq's net factor is scale/(scale*log2e).
+        dq_ref[0, 0] = (dq_scr[...] * (1.0 / LOG2E)).astype(dq_ref.dtype)
+
+    @pl.when((flags & WL_WRITE_KV) != 0)
+    def _write_kv():
+        dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def flash_attn_backward_fused_wl(
+    q, k, v, do, o, lse, lens, scalars, *,
+    causal: bool = True,
+    softmax_scale: float,
+    window: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    sub: int = 512,
+    block_kv: Optional[int] = None,   # dk/dv strip width (None = whole Sk)
+    unroll: int = 1,
+    seqlen_q_real: Optional[int] = None,
+    seqlen_k_real: Optional[int] = None,
+    dlse: Optional[jax.Array] = None,
+    debug_interpret: Optional[bool] = None,
+):
+    """Work-list fused backward: one launch, 5 matmuls per tile, schedule
+    from a host-built SMEM table (causal staircase, windows, multi-strip).
+    Requires a STATIC schedule (no varlen) and block_q == sub. Multi-strip
+    launches accumulate dq in a whole-sequence f32 VMEM scratch (MHA only),
+    so no HBM dq partials exist at any strip count."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
+    sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
+    shift = sk_real - sq_real
+    block_q = sub
+    assert Sq % block_q == 0 and Sk % sub == 0
+    nq, nws = Sq // block_q, Sk // sub
+    if block_kv is None:
+        block_kv = Sk
+    assert block_kv % sub == 0 and Sk % block_kv == 0
+    nsub_strip = block_kv // sub
+    nkv = Sk // block_kv
+    dq_whole = nkv > 1
+    assert not dq_whole or group == 1, \
+        "multi-strip work-list backward needs MHA (whole-dq scratch is per head)"
+    interpret = interpret_mode() if debug_interpret is None else debug_interpret
+
+    unroll_q = max(1, unroll)
+    while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
+        unroll_q -= 1
+
+    c = softmax_scale * LOG2E
+    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    if dlse is not None:
+        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+
+    tri_ok = shift % sub == 0 and shift >= 0 and Sq + shift <= Sk
+    work = build_causal_bwd_worklist(
+        nq, block_q, sub, nws, nsub_strip, group, shift,
+        window=window, causal=causal, tri_ok=tri_ok, dq_whole=dq_whole)
+
+    from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
+
+    need_edge_mask = sq_real < Sq or sk_real < Sk
+
+    def q_index(b, hkv, s, tbl, lens_r, scal_r):
+        return (b, hkv * group + tbl[s, 0], tbl[s, 1], 0)
+
+    def kv_index(b, hkv, s, tbl, lens_r, scal_r):
+        return (b, hkv, tbl[s, 2], 0)
+
+    def dkdv_index(b, hkv, s, tbl, lens_r, scal_r):
+        return (b, hkv, tbl[s, 4], 0)
+
+    if dq_whole:
+        def dq_index(b, hkv, s, tbl, lens_r, scal_r):
+            return (b, hkv, 0, 0)
+        dq_block = (1, 1, Sq, D)
+        dq_scr_shape = (Sq, D)
+    else:
+        dq_index = q_index
+        dq_block = (1, 1, block_q, D)
+        dq_scr_shape = (block_q, D)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), q_index),
+        pl.BlockSpec((1, 1, sub, D), kv_index),
+        pl.BlockSpec((1, 1, sub, D), kv_index),
+        pl.BlockSpec((1, 1, block_q, D), q_index),
+        pl.BlockSpec((1, 1, block_q, 1), q_index),
+        pl.BlockSpec((1, 1, block_q, 1), q_index),
+    ]
+    args = [q, k_p, v, do, lse, delta]
+    if tri_ok:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q, sub),
+            lambda b, hkv, s, tbl, lens_r, scal_r: (0, 0, 0, 0)))
+        args.append(make_tri_mask(block_q, sub))
+        tri_arg = True
+    else:
+        tri_arg = False
+
+    def kernel(tbl_ref, lens_ref, scal_ref, *refs):
+        if tri_arg:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, tri_ref,
+             dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr) = refs
+        else:
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+             dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr) = refs
+            tri_ref = None
+        return _bwd_fused_wl_kernel(
+            tbl_ref, lens_ref, scal_ref,
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, tri_ref,
+            dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr,
+            scale=softmax_scale, window=window, softcap=softcap,
+            dropout_p=dropout_p, causal=causal,
+            block_q=block_q, sub=sub, nsub_strip=nsub_strip,
+            seqlen_q_real=sq_real, seqlen_k_real=sk_real,
+            num_q_heads=Hq, group=group,
+            need_edge_mask=need_edge_mask, dq_whole=dq_whole,
+            unroll=unroll_q,
+        )
+
+    dk, dv, dq = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Hkv, work.shape[0]),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
+                pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
+                pl.BlockSpec(dq_block, dq_index),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM(dq_scr_shape, jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(work), lens, scalars, *args)
     return dq, dk, dv
 
 

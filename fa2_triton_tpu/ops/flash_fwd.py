@@ -831,7 +831,12 @@ def causal_strip_ok(causal, static_skip, window, bias, varlen, Sq, Sk,
             # S=2048 (vs Mosaic's 16M limit) — f32 routes to the block-DMA'd
             # generic/zigzag schedules instead.
             and dtype_bytes <= 2
-            and Sk * head_dim <= vmem_budget)
+            # STRICTLY below: at Sk*D == 8192*128 exactly, the strip kernel's
+            # scoped VMEM lands at 16.36M vs Mosaic's 16M limit — and the
+            # compile outcome near the boundary varies across remote-compile
+            # helpers (observed: same MLIR compiled at 21:00, OOM'd at
+            # 21:48), so boundary configs are excluded outright.
+            and Sk * head_dim < vmem_budget)
 
 
 def tri_square_ok(causal, static_skip, window, bias, Sq, Sk,
