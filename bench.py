@@ -441,6 +441,120 @@ def run_tune(B=4, H=32, D=128):
             if best is not None:
                 path = record("rect_fwd", False, D, T, best, chip=chip)
                 print(f"rect_fwd winner {best}", file=sys.stderr)
+    # ---- other head dims (VERDICT r4 item 6: D=64 GPT-2-class, D=256) ----
+    for D2, sizes in ((64, (1024, 4096, 8192)), (256, (1024, 4096))):
+        for S in sizes:
+            q, k, v = make_inputs(B, S, S, H, H, D2, jnp.bfloat16)
+            qT, kT, vT = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+            lens = jnp.broadcast_to(jnp.array([[S, S]], jnp.int32), (B, 2))
+            scal = jnp.array([[0, 0, 0, 0]], jnp.int32)
+            flops = 4 * B * H * S * S * D2
+            Dp = max(D2, 128)
+            best, best_t = None, float("inf")
+            for bq, bkv, u in ((512, 4096, 4), (512, 2048, 4), (256, 4096, 8),
+                               (256, 2048, 4), (1024, 2048, 2)):
+                if bkv > S or bq > S:
+                    continue
+                try:
+                    t = device_time(
+                        lambda q, k, v, bq=bq, bkv=bkv, u=u:
+                        flash_attn_forward(
+                            q, k, v, lens, scal, None, causal=False,
+                            softmax_scale=D2 ** -0.5, block_q=bq,
+                            block_kv=bkv, unroll_kv=u, seqlen_q_real=S,
+                            seqlen_k_real=S),
+                        qT, kT, vT, iters=10)
+                except Exception as e:
+                    print(f"  fwd D={D2} S={S} ({bq},{bkv},u{u}) failed: "
+                          f"{str(e)[:80]}", file=sys.stderr)
+                    continue
+                print(f"  fwd D={D2} S={S} ({bq},{bkv},u{u}): "
+                      f"{flops/t/1e12:.1f} TFLOP/s", file=sys.stderr,
+                      flush=True)
+                if t < best_t:
+                    best, best_t = (bq, bkv, u), t
+            if best is not None:
+                path = record("fwd", False, Dp, S, best, chip=chip)
+                print(f"fwd D={D2} S={S} winner {best}", file=sys.stderr)
+
+            do = jax.random.normal(jax.random.PRNGKey(7), qT.shape,
+                                   jnp.bfloat16)
+            o, lse = flash_attn_forward(
+                q=qT, k=kT, v=vT, lens=lens, scalars=scal, bias=None,
+                causal=False, softmax_scale=D2 ** -0.5,
+                block_q=512, block_kv=min(S, 2048), unroll_kv=4,
+                seqlen_q_real=S, seqlen_k_real=S)
+            best, best_t = None, float("inf")
+            for bq, bkv, sub in ((512, 2048, 512), (256, 2048, 512),
+                                 (512, 4096, 1024), (256, 1024, 256)):
+                if bkv > S or S % bkv:
+                    continue
+                try:
+                    t = device_time(
+                        lambda q, k, v, do, o, lse, bq=bq, bkv=bkv, sub=sub:
+                        flash_attn_backward_fused(
+                            q, k, v, do, o, lse, lens, scal,
+                            causal=False, softmax_scale=D2 ** -0.5,
+                            block_q=bq, block_kv=bkv, sub_kv=sub, unroll=2,
+                            seqlen_q_real=S, seqlen_k_real=S),
+                        qT, kT, vT, do, o, lse, iters=8)
+                except Exception as e:
+                    print(f"  bwd D={D2} S={S} ({bq},{bkv},{sub}) failed: "
+                          f"{str(e)[:80]}", file=sys.stderr)
+                    continue
+                print(f"  bwd D={D2} S={S} ({bq},{bkv},{sub}): "
+                      f"{flops*2.5/t/1e12:.1f} TFLOP/s", file=sys.stderr,
+                      flush=True)
+                if t < best_t:
+                    best, best_t = (bq, bkv, sub, 2), t
+            if best is not None:
+                path = record("fused_bwd", False, Dp, S, best, chip=chip)
+                print(f"fused_bwd D={D2} S={S} winner {best}",
+                      file=sys.stderr)
+
+    # ---- bias / window forward variants at D=128 (VERDICT r4 weak #7) ----
+    for variant in ("bias", "window"):
+        for S in (1024, 4096):
+            q, k, v = make_inputs(B, S, S, H, H, D, jnp.bfloat16)
+            qT, kT, vT = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+            lens = jnp.broadcast_to(jnp.array([[S, S]], jnp.int32), (B, 2))
+            scal = jnp.array([[0, 0, 0, 0]], jnp.int32)
+            bias = (jax.random.normal(jax.random.PRNGKey(3), (1, 1, S, S),
+                                      jnp.float32)
+                    if variant == "bias" else None)
+            window = (min(1024, S // 2), 0) if variant == "window" else (-1, -1)
+            flops = 4 * B * H * S * S * D
+            best, best_t = None, float("inf")
+            for bq, bkv, u in ((512, 1024, 2), (512, 512, 1), (256, 1024, 2),
+                               (1024, 1024, 1), (512, 2048, 4)):
+                if bkv > S or bq > S:
+                    continue
+                if variant == "bias" and bq * bkv > 512 * 1024:
+                    continue  # bias f32 tiles blow VMEM past this
+                try:
+                    t = device_time(
+                        lambda q, k, v, bq=bq, bkv=bkv, u=u:
+                        flash_attn_forward(
+                            q, k, v, lens, scal, bias, causal=True,
+                            window=window,
+                            softmax_scale=D ** -0.5, block_q=bq,
+                            block_kv=bkv, unroll_kv=u, seqlen_q_real=S,
+                            seqlen_k_real=S, static_skip=True),
+                        qT, kT, vT, iters=10)
+                except Exception as e:
+                    print(f"  fwd+{variant} S={S} ({bq},{bkv},u{u}) failed: "
+                          f"{str(e)[:80]}", file=sys.stderr)
+                    continue
+                print(f"  fwd+{variant} S={S} ({bq},{bkv},u{u}): "
+                      f"{flops/t/1e12:.1f} TFLOP/s (dense-counted)",
+                      file=sys.stderr, flush=True)
+                if t < best_t:
+                    best, best_t = (bq, bkv, u), t
+            if best is not None:
+                path = record("fwd", True, D, S, best, chip=chip,
+                              variant=variant)
+                print(f"fwd+{variant} S={S} winner {best}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "tuning_table_written",
         "value": 1, "unit": "table",
@@ -448,6 +562,16 @@ def run_tune(B=4, H=32, D=128):
     }))
     if path is not None:
         print(f"table: {path}", file=sys.stderr)
+        # Also refresh the shipped package table so sweep results survive
+        # environment resets (the user cache is overlaid on this).
+        import shutil
+        from pathlib import Path
+
+        shipped = (Path(__file__).parent / "fa2_triton_tpu" / "ops"
+                   / "tables" / path.name)
+        shipped.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(path, shipped)
+        print(f"shipped table updated: {shipped}", file=sys.stderr)
 
 
 def main():

@@ -147,9 +147,19 @@ def main():
                 islice(iter(dl), args.steps), size=2,
                 sharding=batch_sharding)
             return
-        for _ in range(args.steps):
-            b = rng.randint(0, cfg.vocab_size, size=(args.batch, args.seq))
-            yield jax.device_put(jnp.asarray(b, jnp.int32), batch_sharding)
+        # Synthetic tokens ride the same double-buffered host->device
+        # prefetcher as real data: a bare device_put per step costs a
+        # ~25 ms tunnel round-trip on this environment (~16% of a 156M
+        # step), fully hidden by staging the next batch during compute.
+        from fa2_triton_tpu.utils.data import prefetch_to_device
+
+        def gen():
+            for _ in range(args.steps):
+                yield np.asarray(
+                    rng.randint(0, cfg.vocab_size,
+                                size=(args.batch, args.seq)), np.int32)
+
+        yield from prefetch_to_device(gen(), size=2, sharding=batch_sharding)
 
     # Warm the compile on one batch outside the timed region, then time the
     # steady-state steps without the final checkpoint.

@@ -64,23 +64,30 @@ def _bucket(seqlen: int) -> int:
     return b
 
 
-def _key(kind: str, causal: bool, head_dim: int, seqlen: int) -> str:
-    return f"{kind}:{int(causal)}:{head_dim}:{_bucket(seqlen)}"
+def _key(kind: str, causal: bool, head_dim: int, seqlen: int,
+         variant: str = "") -> str:
+    tag = f"+{variant}" if variant else ""
+    return f"{kind}{tag}:{int(causal)}:{head_dim}:{_bucket(seqlen)}"
 
 
 @functools.lru_cache(maxsize=8)
 def _load_table(chip: str) -> dict:
-    path = _tuning_dir() / f"tuning_{chip}.json"
-    if path.exists():
-        try:
-            return json.loads(path.read_text())
-        except (json.JSONDecodeError, OSError) as e:
-            warnings.warn(f"ignoring unreadable tuning table {path}: {e}")
-    return {}
+    """Shipped package table (fa2_triton_tpu/ops/tables/) overlaid by the
+    user-cache table ($FA2_TUNING_DIR): `bench.py --tune` winners persist to
+    the cache; chips swept at release time work out of the box."""
+    table = {}
+    shipped = Path(__file__).parent / "tables" / f"tuning_{chip}.json"
+    for path in (shipped, _tuning_dir() / f"tuning_{chip}.json"):
+        if path.exists():
+            try:
+                table.update(json.loads(path.read_text()))
+            except (json.JSONDecodeError, OSError) as e:
+                warnings.warn(f"ignoring unreadable tuning table {path}: {e}")
+    return table
 
 
 def lookup(kind: str, causal: bool, head_dim: int, seqlen: int,
-           chip: Optional[str] = None) -> Optional[tuple]:
+           chip: Optional[str] = None, variant: str = "") -> Optional[tuple]:
     """Persisted override for a kernel config, or None.
 
     kind: 'fwd' -> (block_q, block_kv, unroll_kv);
@@ -90,8 +97,9 @@ def lookup(kind: str, causal: bool, head_dim: int, seqlen: int,
     if os.environ.get("FA2_DISABLE_TUNING_TABLE"):
         return None
     chip = chip or detect_chip()
-    entry = _load_table(chip).get(_key(kind, causal, head_dim, seqlen))
-    if entry is None and os.environ.get("FA2_TUNE_ON_MISS"):
+    entry = _load_table(chip).get(_key(kind, causal, head_dim, seqlen,
+                                       variant))
+    if entry is None and not variant and os.environ.get("FA2_TUNE_ON_MISS"):
         entry = _tune_on_miss(kind, causal, head_dim, seqlen, chip)
     return tuple(entry) if entry is not None else None
 
@@ -128,13 +136,14 @@ def _tune_on_miss(kind: str, causal: bool, head_dim: int, seqlen: int,
 
 
 def record(kind: str, causal: bool, head_dim: int, seqlen: int,
-           config: tuple, chip: Optional[str] = None) -> Path:
+           config: tuple, chip: Optional[str] = None,
+           variant: str = "") -> Path:
     """Persist a swept winner; returns the table path."""
     chip = chip or detect_chip()
     path = _tuning_dir() / f"tuning_{chip}.json"
     path.parent.mkdir(parents=True, exist_ok=True)
     table = dict(_load_table(chip))
-    table[_key(kind, causal, head_dim, seqlen)] = list(config)
+    table[_key(kind, causal, head_dim, seqlen, variant)] = list(config)
     path.write_text(json.dumps(table, indent=1, sort_keys=True))
     _load_table.cache_clear()
     return path

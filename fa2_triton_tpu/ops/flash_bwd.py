@@ -387,6 +387,10 @@ def _bwd_fused_kernel(
     need_edge_mask, need_diag_mask, unroll,
     window_skip=False,      # static window bounds: band the step grid by the
                             # left edge, stop at the right edge (O(S*W))
+    scale_c=0.0,            # in-kernel k fold of scale*log2e (0 = k is
+                            # pre-scaled on the host)
+    o_ref=None,             # with in-kernel delta: (1, 1, bq, D) o blocks;
+                            # delta_ref then holds the dlse ADJUSTMENT only
     varlen=False,
     zigzag=False,           # causal single-strip: dense row-pair schedule
     num_w_steps=0,          # size of the step grid dim (nsteps or num_sub)
@@ -512,15 +516,30 @@ def _bwd_fused_kernel(
     sub_q = block_q // unroll
 
     def _compute(edge=need_edge_mask, diag=need_diag_mask, tri=False):
-        k = k_ref[0, 0]          # (sub_kv, D), prescaled by scale*log2e
+        k = k_ref[0, 0]          # (sub_kv, D), carries scale*log2e
+        if scale_c:
+            # In-kernel fold: one small VPU multiply per step instead of a
+            # serial host read+write of the whole k tensor (~0.4 ms at
+            # S=4096); bitwise identical.
+            k = (k.astype(jnp.float32) * scale_c).astype(k.dtype)
         v = v_ref[0, 0]
         for u in range(unroll):
             sl = slice(u * sub_q, (u + 1) * sub_q)
             q = q_ref[0, 0, sl]  # TRUE q (dk needs it; k carries the scale)
             do = do_ref[0, 0, sl]
+            if o_ref is None:
+                delta_row = delta_ref[0, 0, sl]
+            else:
+                # delta = rowsum(o * do) computed from the resident tiles
+                # (the o DMA hides under compute; the host pass did not),
+                # minus the host-folded dlse adjustment.
+                o_t = o_ref[0, 0, sl]
+                delta_row = jnp.sum(
+                    o_t.astype(jnp.float32) * do.astype(jnp.float32),
+                    axis=-1, keepdims=True) - delta_ref[0, 0, sl]
             p_drop, ds, _ = _recompute_p_and_ds(
                 q, k, v, do,
-                lse_ref[0, 0, sl], delta_ref[0, 0, sl],
+                lse_ref[0, 0, sl], delta_row,
                 scale=scale, causal=causal, window=window, softcap=softcap,
                 dropout_p=dropout_p,
                 bias_blk=None,
@@ -594,6 +613,7 @@ def _bwd_causal_strip_kernel(
     *,
     scale, sub, wide, shift_sub, group, num_q_blocks,
     dropout_p, seqlen_q_real, seqlen_k_real, num_q_heads,
+    scale_c=0.0, o_ref=None,
 ):
     """Causal backward with the whole KV strip resident: grid (B, Hkv,
     group * nq). The backward sibling of `flash_fwd._fwd_causal_strip_kernel`
@@ -631,12 +651,19 @@ def _bwd_causal_strip_kernel(
     do = do_ref[0, 0]
     lse_row = lse_ref[0, 0]
     lse_row = jnp.where(jnp.isfinite(lse_row), lse_row, 1e30)
-    delta_row = delta_ref[0, 0]
+    if o_ref is None:
+        delta_row = delta_ref[0, 0]
+    else:
+        delta_row = jnp.sum(
+            o_ref[0, 0].astype(jnp.float32) * do.astype(jnp.float32),
+            axis=-1, keepdims=True) - delta_ref[0, 0]
     last_u = iq + shift_sub
     row0 = iq * sub
 
     def _tile(col0, dq_acc, *, tri):
         k = k_ref[0, 0, pl.ds(col0, sub)]
+        if scale_c:
+            k = (k.astype(jnp.float32) * scale_c).astype(k.dtype)
         v = v_ref[0, 0, pl.ds(col0, sub)]
         s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -710,6 +737,15 @@ def _bwd_causal_strip_kernel(
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _bwd_causal_strip_kernel_fold(lens_ref, scal_ref, q_ref, k_ref, v_ref,
+                                  do_ref, lse_ref, adj_ref, o_ref, tri_ref,
+                                  dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                                  **kw):
+    return _bwd_causal_strip_kernel(
+        lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, adj_ref,
+        tri_ref, dq_ref, dk_ref, dv_ref, dk_scr, dv_scr, o_ref=o_ref, **kw)
+
+
 def flash_attn_backward_causal_strip(
     q, k, v, do, o, lse, lens, scalars, *,
     softmax_scale, dropout_p=0.0, sub=512, wide=4,
@@ -727,13 +763,13 @@ def flash_attn_backward_causal_strip(
     assert Sq + shift <= Sk
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
 
-    c = softmax_scale * LOG2E
-    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True)
+    # k's scale*log2e fold and delta = rowsum(o*do) happen IN-KERNEL; only
+    # the dlse adjustment stays host-side (see flash_attn_backward_fused).
     if dlse is not None:
         safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
-        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+        adj = jnp.where(safe, dlse, 0.0) * LOG2E
+    else:
+        adj = jnp.zeros_like(lse)
 
     from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
 
@@ -747,10 +783,10 @@ def flash_attn_backward_causal_strip(
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_causal_strip_kernel,
+            _bwd_causal_strip_kernel_fold,
             scale=softmax_scale, sub=sub, wide=wide,
             shift_sub=shift // sub, group=group, num_q_blocks=nq,
-            dropout_p=dropout_p,
+            dropout_p=dropout_p, scale_c=softmax_scale * LOG2E,
             seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         ),
         grid=(B, Hkv, group * nq),
@@ -763,6 +799,7 @@ def flash_attn_backward_causal_strip(
             pl.BlockSpec((1, 1, sub, D), row_index),
             pl.BlockSpec((1, 1, sub, 1), row_index),
             pl.BlockSpec((1, 1, sub, 1), row_index),
+            pl.BlockSpec((1, 1, sub, D), row_index),
             pl.BlockSpec((1, 1, sub, sub), lambda b, hkv, e: (0, 0, 0, 0)),
         ],
         out_specs=(
@@ -783,7 +820,7 @@ def flash_attn_backward_causal_strip(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, scalars, q, k_p, v, do, lse, delta, make_tri_mask(sub, sub))
+    )(lens, scalars, q, k, v, do, lse, adj, o, make_tri_mask(sub, sub))
     return dq, dk, dv
 
 
@@ -821,6 +858,9 @@ def _bwd_tri_square_kernel(
     leaf_subs: int = 0,     # > 0: strip holds several independent leaf
                             # triangles (split schedule); row r only visits
                             # columns of its own leaf
+    scale_c: float = 0.0,   # in-kernel k fold of scale*log2e (0 = host)
+    o_ref=None,             # in-kernel delta: o strip; delta_ref holds the
+                            # dlse adjustment only
 ):
     """Small-sequence causal backward: one grid step per (batch, kv head).
 
@@ -855,13 +895,21 @@ def _bwd_tri_square_kernel(
             do = do_ref[0, g, rs]
             lse_row = lse_ref[0, g, rs]
             lse_row = jnp.where(jnp.isfinite(lse_row), lse_row, 1e30)
-            delta_row = delta_ref[0, g, rs]
+            if o_ref is None:
+                delta_row = delta_ref[0, g, rs]
+            else:
+                delta_row = jnp.sum(
+                    o_ref[0, g, rs].astype(jnp.float32)
+                    * do.astype(jnp.float32),
+                    axis=-1, keepdims=True) - delta_ref[0, g, rs]
             base_u = (r // leaf_subs) * leaf_subs if leaf_subs else 0
             for u in range(n_sub_k):
                 if u < base_u or u > r + shift_sub:
                     continue
                 us = slice(u * sub, (u + 1) * sub)
                 k = k_ref[0, 0, us]
+                if scale_c:
+                    k = (k.astype(jnp.float32) * scale_c).astype(k.dtype)
                 v = v_ref[0, 0, us]
                 s2 = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
@@ -926,6 +974,14 @@ def _bwd_tri_square_kernel(
         dv_ref[0, 0, us] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_tri_square_kernel_fold(lens_ref, scal_ref, q_ref, k_ref, v_ref,
+                                do_ref, lse_ref, adj_ref, o_ref, tri_ref,
+                                dq_ref, dk_ref, dv_ref, **kw):
+    return _bwd_tri_square_kernel(
+        lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, adj_ref,
+        tri_ref, dq_ref, dk_ref, dv_ref, o_ref=o_ref, **kw)
+
+
 def flash_attn_backward_tri_square(
     q, k, v, do, o, lse, lens, scalars, *,
     softmax_scale, dropout_p=0.0, sub=256,
@@ -945,13 +1001,13 @@ def flash_attn_backward_tri_square(
     assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
 
-    c = softmax_scale * LOG2E
-    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True)
+    # k's scale*log2e fold and delta = rowsum(o*do) both happen IN-KERNEL
+    # (strips are resident anyway); only the dlse adjustment is host-side.
     if dlse is not None:
         safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
-        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+        adj = jnp.where(safe, dlse, 0.0) * LOG2E
+    else:
+        adj = jnp.zeros_like(lse)
 
     from fa2_triton_tpu.ops.flash_fwd import make_tri_mask
 
@@ -964,10 +1020,10 @@ def flash_attn_backward_tri_square(
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_tri_square_kernel,
+            _bwd_tri_square_kernel_fold,
             scale=softmax_scale, sub=sub, n_sub_q=Sq // sub,
             n_sub_k=Sk // sub, shift_static=shift, group=group,
-            dropout_p=dropout_p,
+            dropout_p=dropout_p, scale_c=softmax_scale * LOG2E,
             seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         ),
         grid=(B, Hkv),
@@ -980,6 +1036,7 @@ def flash_attn_backward_tri_square(
             pl.BlockSpec((1, group, Sq, D), q_index),
             pl.BlockSpec((1, group, Sq, 1), q_index),
             pl.BlockSpec((1, group, Sq, 1), q_index),
+            pl.BlockSpec((1, group, Sq, D), q_index),
             pl.BlockSpec((1, 1, sub, sub), lambda b, hkv: (0, 0, 0, 0)),
         ],
         out_specs=(
@@ -996,7 +1053,7 @@ def flash_attn_backward_tri_square(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(lens, scalars, q, k_p, v, do, lse, delta, make_tri_mask(sub, sub))
+    )(lens, scalars, q, k, v, do, lse, adj, o, make_tri_mask(sub, sub))
     return dq, dk, dv
 
 
@@ -1375,6 +1432,27 @@ def _bwd_fused_kernel_tri(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr, tri_ref=tri, **kw)
 
 
+def _bwd_fused_kernel_fold(lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref,
+                           lse_ref, adj_ref, o_ref,
+                           dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr,
+                           **kw):
+    # Fold mode: raw k (scaled in-kernel via scale_c), delta computed from
+    # the resident o/do tiles, adj_ref = the host-folded dlse adjustment.
+    return _bwd_fused_kernel(
+        lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, adj_ref,
+        dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr, o_ref=o_ref, **kw)
+
+
+def _bwd_fused_kernel_fold_tri(lens_ref, scal_ref, q_ref, k_ref, v_ref,
+                               do_ref, lse_ref, adj_ref, o_ref, tri,
+                               dk_ref, dv_ref, dq_ref,
+                               dk_scr, dv_scr, dq_scr, **kw):
+    return _bwd_fused_kernel(
+        lens_ref, scal_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, adj_ref,
+        dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr, o_ref=o_ref,
+        tri_ref=tri, **kw)
+
+
 def flash_attn_dbias(
     q_p, k, v, do, lse, delta,  # q_p prescaled by scale*log2e; BHSD padded
     lens, scalars, bias,
@@ -1505,15 +1583,16 @@ def flash_attn_backward_fused(
     while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
         unroll_q -= 1
 
-    # k carries scale*log2e (the s-recompute needs the fold; dk needs TRUE q,
-    # dq divides the fold back out in its finalizer).
-    k_p = (k.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(k.dtype)
-
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True)
+    # k carries scale*log2e and delta = rowsum(o*do), both folded IN-KERNEL
+    # (scale_c / o blocks): the host passes they replace are serial HBM
+    # sweeps (~0.8 ms combined at S=4096) while the in-kernel costs hide
+    # under the 5-matmul compute. Only the dlse adjustment (a [B,H,S,1]
+    # row statistic) is prepared on the host.
     if dlse is not None:
         safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
-        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+        adj = jnp.where(safe, dlse, 0.0) * LOG2E
+    else:
+        adj = jnp.zeros_like(lse)
 
     causal_skip = causal and static_skip
     # Window skipping: band the kv sub-tile walk by the static window edges
@@ -1613,7 +1692,7 @@ def flash_attn_backward_fused(
     # q block and wa() never clips.
     in_specs_extra = []
     args_extra = []
-    kernel_fn = _bwd_fused_kernel
+    kernel_fn = _bwd_fused_kernel_fold
     if (use_zigzag and sub_kv == block_q
             and shift_static % sub_kv == 0 and shift_static >= 0
             and Sq + shift_static <= Sk):
@@ -1623,7 +1702,7 @@ def flash_attn_backward_fused(
             (1, 1, block_q, sub_kv),
             lambda b, hkv, ikv, e, w: (0, 0, 0, 0))]
         args_extra = [make_tri_mask(block_q, sub_kv)]
-        kernel_fn = _bwd_fused_kernel_tri
+        kernel_fn = _bwd_fused_kernel_fold_tri
 
     # With one KV strip the partial IS dq (write in q.dtype, no reduction);
     # with several, f32 partials are summed by one fused XLA reduction.
@@ -1640,6 +1719,7 @@ def flash_attn_backward_fused(
             need_edge_mask=need_edge_mask, need_diag_mask=need_diag_mask,
             unroll=unroll_q, varlen=varlen,
             window_skip=window_skip and not use_zigzag,
+            scale_c=softmax_scale * LOG2E,
             zigzag=use_zigzag, num_w_steps=w_size,
         ),
         grid=(B, Hkv, nkv, e_size, w_size),
@@ -1652,6 +1732,7 @@ def flash_attn_backward_fused(
             pl.BlockSpec((1, 1, block_q, D), q_index),
             pl.BlockSpec((1, 1, block_q, 1), q_index),
             pl.BlockSpec((1, 1, block_q, 1), q_index),
+            pl.BlockSpec((1, 1, block_q, D), q_index),
         ] + in_specs_extra,
         out_specs=(
             pl.BlockSpec((1, 1, block_kv, D), dkdv_index),
@@ -1673,7 +1754,7 @@ def flash_attn_backward_fused(
                                  "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, scalars, q, k_p, v, do, lse, delta, *args_extra)
+    )(lens, scalars, q, k, v, do, lse, adj, o, *args_extra)
 
     dq = dq_part[0] if nkv == 1 else jnp.sum(dq_part, axis=0).astype(q.dtype)
     return dq, dk, dv
@@ -1775,6 +1856,7 @@ def _bwd_fused_wl_kernel(
     block_q, sub, nsub_strip,
     seqlen_q_real, seqlen_k_real, num_q_heads, group,
     need_edge_mask, dq_whole, unroll,
+    scale_c=0.0, o_ref=None,
 ):
     b, hkv, s = (pl.program_id(i) for i in range(3))
     g = tbl_ref[s, 0]
@@ -1802,14 +1884,23 @@ def _bwd_fused_wl_kernel(
     w_in = ws - strip * nsub_strip
 
     def _body(masked, tri):
-        k = k_ref[0, 0]          # (sub, D) prescaled by scale*log2e
+        k = k_ref[0, 0]          # (sub, D) carries scale*log2e
+        if scale_c:
+            k = (k.astype(jnp.float32) * scale_c).astype(k.dtype)
         v = v_ref[0, 0]
         for u in range(unroll):
             sl = slice(u * sub_q, (u + 1) * sub_q)
             q = q_ref[0, 0, sl]
             do = do_ref[0, 0, sl]
+            if o_ref is None:
+                delta_row = delta_ref[0, 0, sl]
+            else:
+                delta_row = jnp.sum(
+                    o_ref[0, 0, sl].astype(jnp.float32)
+                    * do.astype(jnp.float32),
+                    axis=-1, keepdims=True) - delta_ref[0, 0, sl]
             p_drop, ds, _ = _recompute_p_and_ds(
-                q, k, v, do, lse_ref[0, 0, sl], delta_ref[0, 0, sl],
+                q, k, v, do, lse_ref[0, 0, sl], delta_row,
                 scale=scale, causal=causal, window=window, softcap=softcap,
                 dropout_p=dropout_p, bias_blk=None,
                 row_lo=q_off + iq * block_q + u * sub_q,
@@ -1863,6 +1954,35 @@ def _bwd_fused_wl_kernel(
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def causal_wl_bwd_config(causal, static_skip, window, varlen, softcap,
+                         Sq, Sk, sq_real, sk_real, head_dim, group,
+                         dtype_bytes=2, sub=512):
+    """(sub, block_kv) for the work-list whole-dq backward, or None when the
+    plain fused/zigzag paths should run instead. Engages only where it
+    measures faster: causal multi-strip shapes (the whole KV strip no longer
+    fits the f32 dk/dv scratch), MHA, static schedule. The VMEM budget is
+    dq (Sq*D*4) + dk/dv (2*bkv*D*4) + tiles, kept under ~8MB — the measured
+    compile envelope (S=8192: bkv=2048 OK, bkv=4096 OOM)."""
+    if not (causal and static_skip and softcap == 0.0 and not varlen
+            and group == 1 and dtype_bytes <= 2):
+        return None
+    shift = sk_real - sq_real
+    if Sq % sub or Sk % sub or shift < 0 or Sq + shift > Sk:
+        return None
+    # Only multi-strip territory (single-strip zigzag / banded-fused
+    # measure faster: 116 vs 110 at S=4096).
+    bkv_max_single = 4 * 1024 * 1024 // (2 * 4 * head_dim)
+    if Sk <= bkv_max_single:
+        return None
+    dq_bytes = Sq * head_dim * 4
+    for bkv in (2048, 1024, 512):
+        if Sk % bkv or bkv % sub:
+            continue
+        if dq_bytes + 2 * bkv * head_dim * 4 <= 8 * 1024 * 1024:
+            return sub, bkv
+    return None
+
+
 def flash_attn_backward_fused_wl(
     q, k, v, do, o, lse, lens, scalars, *,
     causal: bool = True,
@@ -1906,13 +2026,26 @@ def flash_attn_backward_fused_wl(
     while block_q % unroll_q != 0 or (block_q // unroll_q) % 128 != 0:
         unroll_q -= 1
 
-    c = softmax_scale * LOG2E
-    k_p = (k.astype(jnp.float32) * c).astype(k.dtype)
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1,
-                    keepdims=True)
-    if dlse is not None:
-        safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
-        delta = delta - jnp.where(safe, dlse, 0.0) * LOG2E
+    # Prep fold: in whole-dq mode the Sq*D*4 scratch leaves no VMEM for the
+    # extra o tiles (S=8192 bkv=2048 measured 16.43M vs the 16M limit with
+    # them), so multi-strip keeps the HOST k-prescale + delta passes (~4% at
+    # S=8192); single-strip folds them in-kernel like the fused launcher.
+    fold = not dq_whole
+    if fold:
+        k_in = k
+        if dlse is not None:
+            safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+            adj = jnp.where(safe, dlse, 0.0) * LOG2E
+        else:
+            adj = jnp.zeros_like(lse)
+    else:
+        k_in = (k.astype(jnp.float32)
+                * (softmax_scale * LOG2E)).astype(k.dtype)
+        adj = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                      axis=-1, keepdims=True)
+        if dlse is not None:
+            safe = jnp.logical_and(jnp.isfinite(lse), jnp.isfinite(dlse))
+            adj = adj - jnp.where(safe, dlse, 0.0) * LOG2E
 
     tri_ok = shift % sub == 0 and shift >= 0 and Sq + shift <= Sk
     work = build_causal_bwd_worklist(
@@ -1950,7 +2083,10 @@ def flash_attn_backward_fused_wl(
         pl.BlockSpec((1, 1, block_q, 1), q_index),
         pl.BlockSpec((1, 1, block_q, 1), q_index),
     ]
-    args = [q, k_p, v, do, lse, delta]
+    args = [q, k_in, v, do, lse, adj]
+    if fold:
+        in_specs.append(pl.BlockSpec((1, 1, block_q, D), q_index))
+        args.append(o)
     if tri_ok:
         in_specs.append(pl.BlockSpec(
             (1, 1, block_q, sub),
@@ -1961,16 +2097,15 @@ def flash_attn_backward_fused_wl(
         tri_arg = False
 
     def kernel(tbl_ref, lens_ref, scal_ref, *refs):
-        if tri_arg:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, tri_ref,
-             dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr) = refs
-        else:
-            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-             dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr) = refs
-            tri_ref = None
+        refs = list(refs)
+        q_ref, k_ref, v_ref, do_ref, lse_ref, adj_ref = refs[:6]
+        rest = refs[6:]
+        o_ref = rest.pop(0) if fold else None
+        tri_ref = rest.pop(0) if tri_arg else None
+        (dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr) = rest
         return _bwd_fused_wl_kernel(
             tbl_ref, lens_ref, scal_ref,
-            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, tri_ref,
+            q_ref, k_ref, v_ref, do_ref, lse_ref, adj_ref, tri_ref,
             dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, dq_scr,
             scale=softmax_scale, window=window, softcap=softcap,
             dropout_p=dropout_p, causal=causal,
@@ -1979,6 +2114,7 @@ def flash_attn_backward_fused_wl(
             num_q_heads=Hq, group=group,
             need_edge_mask=need_edge_mask, dq_whole=dq_whole,
             unroll=unroll_q,
+            scale_c=softmax_scale * LOG2E if fold else 0.0, o_ref=o_ref,
         )
 
     dk, dv, dq = pl.pallas_call(
@@ -2114,6 +2250,28 @@ def flash_attn_backward(
                 sub=sub_s, wide=wide_s,
                 seqlen_q_real=_sq, seqlen_k_real=_sk,
                 dlse=dlse, debug_interpret=debug_interpret,
+            )
+        # Multi-strip causal (the KV strip no longer fits one f32 dk/dv
+        # scratch): the work-list fused kernel with a whole-sequence f32 dq
+        # VMEM accumulator replaces the (nkv, B, H, Sq, D) f32 HBM dq
+        # partials the plain fused launch needs — at S=8192 D=128 those
+        # partials' write+reduce traffic is ~20 ms of the 56 ms backward
+        # (v5e: 127.8 vs 98.7 effective TFLOP/s). MHA only: the dq scratch
+        # is per (batch, kv head), so a GQA group would need group*Sq*D*4
+        # bytes.
+        wl_cfg = causal_wl_bwd_config(
+            causal, static_skip, window, varlen, softcap, Sq, Sk,
+            _sq, _sk, D, Hq // Hkv, q.dtype.itemsize)
+        if wl_cfg is not None and os.environ.get(
+                "FA2_DISABLE_WL", "0").lower() not in ("1", "true", "yes"):
+            sub_w, bkv_w = wl_cfg
+            return flash_attn_backward_fused_wl(
+                q, k, v, do, o, lse, lens, scalars,
+                causal=causal, softmax_scale=softmax_scale, window=window,
+                softcap=softcap, dropout_p=dropout_p,
+                sub=sub_w, block_kv=bkv_w,
+                seqlen_q_real=_sq, seqlen_k_real=_sk, dlse=dlse,
+                debug_interpret=debug_interpret,
             )
         cfg_f = choose_fused_bwd(Sq, Sk, D, causal,
                                  dtype_bytes=q.dtype.itemsize)

@@ -83,8 +83,9 @@ def _fwd_kernel(
     num_q_heads: int,
     last_kv_block_fn,   # None, or fn(iq) -> last needed kv block (traced)
     varlen: bool,       # per-batch lengths may be shorter than seqlen_*_real
-    prescaled: bool,    # q pre-multiplied by scale*log2e on the host
+    prescaled: bool,    # q carries scale*log2e (host-scaled or in-kernel)
     unroll: int,        # KV sub-tiles per block with independent MXU chains
+    scale_in_kernel: bool = False,  # multiply q by scale*log2e at tile read
     split_diag: bool,   # causal: only the last KV block of a row intersects
                         # the diagonal -> full blocks run a mask-free body
     zigzag: bool = False,   # causal: grid is (B, H, row-PAIR, step); see below
@@ -218,6 +219,12 @@ def _fwd_kernel(
                      else (varlen or (seqlen_k_real < seqlen_k_pad)))
     need_diag_mask = causal or window[0] >= 0 or window[1] >= 0
 
+    # q carries scale*log2e. Scaling IN-KERNEL (scale_in_kernel) instead of
+    # in a host pass costs one (block_q, D) VPU multiply per grid step
+    # (~1% of a step) but deletes a serial HBM read+write of the whole q
+    # tensor (~0.45 ms at S=4096) — the DMA of raw q was already hidden
+    # under compute. Bitwise identical to the host pass (same op order).
+
     # KV sub-tiling: the block's QK^T is computed as `unroll` independent
     # sub-matmuls, the running max is taken across all of them, and the
     # exp2 / PV chains per sub-tile have no cross dependencies — Mosaic's
@@ -229,6 +236,8 @@ def _fwd_kernel(
 
     def _compute(need_col_mask=need_col_mask, need_diag_mask=need_diag_mask):
         q = q_ref[0, 0]
+        if scale_in_kernel:
+            q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
         # The causal/window diagonal is bottom-right aligned on actual
         # lengths: keep iff
         #   row + shift - left <= col <= row + shift + right,
@@ -452,7 +461,7 @@ def _fwd_tri_square_kernel(
     o_ref, lse_ref,
     *,
     sub: int, n_sub_q: int, n_sub_k: int, shift_static: int, unroll: int,
-    dropout_p: float,
+    dropout_p: float, scale_c: float = 0.0,
     seqlen_q_real: int, seqlen_k_real: int, num_q_heads: int,
     varlen: bool,
     diag_stride: int = 0,   # > 0: grid has a 3rd dim t walking diagonal
@@ -496,6 +505,10 @@ def _fwd_tri_square_kernel(
     for r in range(n_sub_q):
         rs = slice(r * sub, (r + 1) * sub)
         q = q_ref[0, 0, rs]
+        if scale_c:
+            # In-kernel scale*log2e fold: deletes the serial host prescale
+            # pass (bitwise-identical elementwise op).
+            q = (q.astype(jnp.float32) * scale_c).astype(q.dtype)
         m = jnp.full((sub, 1), MASK_LOG2, jnp.float32)
         l = jnp.zeros((sub, 1), jnp.float32)
         acc = None
@@ -587,14 +600,13 @@ def flash_attn_forward_tri_square(
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
     shift = sk_real - sq_real
     assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0
-    if not q_prescaled:
-        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
 
     kernel = functools.partial(
         _fwd_tri_square_kernel,
         sub=sub, n_sub_q=Sq // sub, n_sub_k=Sk // sub, shift_static=shift,
         unroll=unroll, dropout_p=dropout_p,
+        scale_c=0.0 if q_prescaled else softmax_scale * LOG2E,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         varlen=varlen,
     )
@@ -639,6 +651,7 @@ def _fwd_causal_strip_kernel(
     shift_sub: int,       # (sk_real - sq_real) // sub, static
     dropout_p: float,
     seqlen_q_real: int, seqlen_k_real: int, num_q_heads: int,
+    scale_c: float = 0.0,  # in-kernel scale*log2e fold (0 = pre-scaled)
 ):
     """Causal forward with the whole KV strip resident: grid (B, Hq, nq).
 
@@ -671,7 +684,9 @@ def _fwd_causal_strip_kernel(
     kv_off = scal_ref[0, 1]
     seed = scal_ref[0, 2]
     D = q_ref.shape[3]
-    q = q_ref[0, 0]                      # (sub, D), prescaled by scale*log2e
+    q = q_ref[0, 0]                      # (sub, D); carries scale*log2e
+    if scale_c:
+        q = (q.astype(jnp.float32) * scale_c).astype(q.dtype)
     last_u = iq + shift_sub              # the diagonal sub-tile index
 
     def _dropout(p, row0, col0):
@@ -776,13 +791,12 @@ def flash_attn_forward_causal_strip(
     shift = sk_real - sq_real
     assert Sq % sub == 0 and Sk % sub == 0 and shift % sub == 0 and shift >= 0
     assert Sq + shift <= Sk
-    if not q_prescaled:
-        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
 
     kernel = functools.partial(
         _fwd_causal_strip_kernel,
         sub=sub, wide=wide, shift_sub=shift // sub, dropout_p=dropout_p,
+        scale_c=0.0 if q_prescaled else softmax_scale * LOG2E,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
     )
     o, lse = pl.pallas_call(
@@ -983,8 +997,6 @@ def flash_attn_forward_causal_diag(
         leaves_per_step -= 1
     C = leaves_per_step
     CT = C * T
-    if not q_prescaled:
-        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
     sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sk
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
@@ -993,6 +1005,7 @@ def flash_attn_forward_causal_diag(
         _fwd_tri_square_kernel,
         sub=sub, n_sub_q=CT // sub, n_sub_k=CT // sub, shift_static=0,
         unroll=unroll, dropout_p=dropout_p,
+        scale_c=0.0 if q_prescaled else softmax_scale * LOG2E,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         varlen=False, diag_stride=CT, leaf_subs=T // sub,
     )
@@ -1072,8 +1085,6 @@ def flash_attn_forward_rect(
         unroll -= 1
     nq, nkv = nrows // block_q, ncols // block_kv
     roff, coff = row0 // block_q, col0 // block_kv
-    if not q_prescaled:
-        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
     scalars = scalars + jnp.array([[row0, col0, 0, 0]], jnp.int32)
     interpret = interpret_mode() if debug_interpret is None else debug_interpret
 
@@ -1084,6 +1095,7 @@ def flash_attn_forward_rect(
         num_kv_blocks=nkv,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real, num_q_heads=Hq,
         last_kv_block_fn=None, varlen=False, prescaled=True, unroll=unroll,
+        scale_in_kernel=not q_prescaled,
         split_diag=False,
         # Cols [col0, col0+ncols) are invalid only past the real length.
         need_col_mask_static=(sk_real < col0 + ncols),
@@ -1167,8 +1179,6 @@ def _causal_split_forward(
     n = Sq // T
     sq_real = seqlen_q_real if seqlen_q_real is not None else Sq
     sk_real = seqlen_k_real if seqlen_k_real is not None else Sq
-    if not q_prescaled:
-        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
 
     sub_d, unroll_d = (min(256, T), 4 if T <= 1024 else 1)
     ov = autotune_lookup("diag_fwd", True, D, T)
@@ -1178,7 +1188,7 @@ def _causal_split_forward(
         q, k, v, lens, scalars, T=T, softmax_scale=softmax_scale,
         dropout_p=dropout_p, sub=sub_d, unroll=unroll_d,
         seqlen_q_real=sq_real, seqlen_k_real=sk_real,
-        q_prescaled=True, debug_interpret=debug_interpret,
+        q_prescaled=q_prescaled, debug_interpret=debug_interpret,
     )
 
     from fa2_triton_tpu.ops.tuning import choose_block_sizes
@@ -1204,7 +1214,7 @@ def _causal_split_forward(
             softmax_scale=softmax_scale, dropout_p=dropout_p,
             block_q=bq_r, block_kv=bkv_r, unroll_kv=u_r,
             seqlen_q_real=sq_real, seqlen_k_real=sk_real,
-            q_prescaled=True, merge_prev=(o, lse),
+            q_prescaled=q_prescaled, merge_prev=(o, lse),
             debug_interpret=debug_interpret,
         )
     return o, lse
@@ -1322,13 +1332,13 @@ def flash_attn_forward(
     while block_kv % unroll != 0 or (block_kv // unroll) % 128 != 0:
         unroll -= 1
 
-    # Fold scale*log2(e) into q on the host (one cheap elementwise pass over
-    # [B,H,S,D]) instead of multiplying every [block_q, block_kv] score tile
-    # on the VPU — the reference folds the same constant into its
-    # softmax_scale at `src/forward/kernel.py:119`; here it moves out of the
-    # kernel entirely (~8% forward speedup, benchmarks/kernel_lab.py).
-    if not q_prescaled:
-        q = (q.astype(jnp.float32) * (softmax_scale * LOG2E)).astype(q.dtype)
+    # Fold scale*log2(e) into q AT THE KERNEL'S q-TILE READ (one small VPU
+    # multiply per grid step) rather than per [block_q, block_kv] score tile
+    # — the reference folds the same constant into its softmax_scale at
+    # `src/forward/kernel.py:119`. Round 1-4 did this as a host pass over
+    # [B,H,S,D]; in-kernel deletes that serial HBM read+write (~0.45 ms at
+    # S=4096) at unmeasurable per-step cost, bitwise identically.
+    scale_in_kernel = not q_prescaled
 
     # Zigzag causal schedule (see `_fwd_kernel`): row-block pairs make the
     # grid dense — no idle steps, no half-masked wide strips. Sound whenever
@@ -1517,6 +1527,7 @@ def flash_attn_forward(
         last_kv_block_fn=last_kv_fn,
         varlen=varlen,
         prescaled=True,
+        scale_in_kernel=scale_in_kernel,
         unroll=unroll,
         split_diag=split_diag,
         zigzag=use_zigzag,

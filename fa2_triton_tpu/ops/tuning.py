@@ -93,11 +93,25 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
     # Budget shrinks as the (padded) head dim grows: acc/q/k/v tiles scale
     # linearly in head_dim, the s/p tile scales with block_q*block_kv.
     unroll_kv = 4
+    # Swept per-chip variant entries (bench.py --tune sweeps bias/window
+    # block choices at D=128) override the priors below.
+    if dtype_bits <= 16 and not has_varlen and (has_bias or has_window):
+        ov = lookup("fwd", causal, head_dim_padded,
+                    max(seqlen_q, seqlen_k),
+                    variant="bias" if has_bias else "window")
+        if ov is not None:
+            bq_v, bkv_v, u_v = ov
+            bq_v = min(bq_v, round_up_to_multiple(max(seqlen_q, 1), 128))
+            bkv_v = min(bkv_v, round_up_to_multiple(max(seqlen_k, 1), 128))
+            return BlockSizes(block_q=bq_v, block_kv=bkv_v,
+                              block_q_bwd=_divisor_block(bq_v, 512),
+                              block_kv_bwd=_divisor_block(bkv_v, 512),
+                              unroll_kv=u_v, unroll_bwd=1 if causal else 2)
     if head_dim_padded <= 128:
         if has_bias:
             bq, bkv = 512, _waste_aware(seqlen_k, (1024, 512, 256, 128))
         elif causal and has_window:
-            # Window disables the zigzag/tri fast paths; the diag-split
+            # Window disables the zigzag/tri fast paths; the banded generic
             # schedule prefers wide KV strips.
             bq = _waste_aware(seqlen_q, (1024, 512, 256, 128))
             bkv = _waste_aware(seqlen_k, (2048, 1024, 512, 256, 128))
