@@ -165,6 +165,43 @@ def bench_varlen(B=4, S=4096, Hq=32, Hkv=32, D=128):
             "packed_speedup": t_full / t_packed}
 
 
+def bench_window(B=1, S=16384, W=4096, Hq=16, D=128):
+    """Sliding-window prefill at O(S*W) compute: blocks strictly left of the
+    window never enter the banded grid (`ops/flash_fwd.py` first_kv_block_fn
+    + band dimension), so a Mistral-style W=4096 prefill at S=16384 should
+    cost ~= the attended-pair fraction of the causal time, not O(S^2).
+    Window semantics source: `/root/reference/src/reference_implementation.py:8-35`."""
+    from fa2_triton_tpu import flash_attn_func
+
+    q, k, v = make_inputs(B, S, S, Hq, Hq, D, jnp.bfloat16)
+    do = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.bfloat16)
+
+    def grad_fn(attn):
+        def fn(q, k, v, do):
+            out, vjp = jax.vjp(attn, q, k, v)
+            return (out,) + vjp(do)
+        return fn
+
+    win = functools.partial(flash_attn_func, causal=True, window_size=(W, 0))
+    cau = functools.partial(flash_attn_func, causal=True)
+    t_win = device_time(win, q, k, v, iters=10)
+    t_cau = device_time(cau, q, k, v, iters=10)
+    t_win_bwd = device_time(grad_fn(win), q, k, v, do, iters=8)
+    t_cau_bwd = device_time(grad_fn(cau), q, k, v, do, iters=8)
+    # Attended pairs: triangle head (rows < W) + band body.
+    pairs = W * (W + 1) // 2 + (S - W) * (W + 1)
+    flops = 4 * B * Hq * pairs * D
+    return {
+        "win_ms": t_win * 1e3, "causal_ms": t_cau * 1e3,
+        "win_bwd_ms": t_win_bwd * 1e3, "causal_bwd_ms": t_cau_bwd * 1e3,
+        "speedup": t_cau / t_win,
+        "speedup_bwd": t_cau_bwd / t_win_bwd,
+        "ideal": (S * S / 2) / pairs,
+        "tflops": flops / t_win / 1e12,
+        "tflops_bwd": flops * 3.5 / t_win_bwd / 1e12,
+    }
+
+
 def bench_serve(requests=32, prompt_len=256, new_tokens=128, dim=1024,
                 layers=8, heads=8, kv_heads=2, slots=16, max_seq=4096):
     """Engine-level tokens/s: N mixed-length requests through the
@@ -582,7 +619,8 @@ def main():
                     help="sweep kernel configs on this chip and persist "
                          "them for the dispatcher (ops/autotune.py)")
     ap.add_argument("--mode", default="fwd",
-                    choices=["fwd", "fwdbwd", "decode", "varlen", "serve"])
+                    choices=["fwd", "fwdbwd", "decode", "varlen", "serve",
+                             "window"])
     ap.add_argument("--details", action="store_true", default=None,
                     help="append causal fwd+bwd sub-metrics to the headline "
                          "JSON (default: on for the plain headline run)")
@@ -607,6 +645,27 @@ def main():
             "value": round(r["packed_speedup"], 3),
             "unit": "x",
             "vs_baseline": round(r["packed_speedup"], 3),
+        }))
+        return
+
+    if args.mode == "window":
+        r = bench_window()
+        print(f"window W=4096 S=16384: fwd {r['win_ms']:.3f} ms vs causal "
+              f"{r['causal_ms']:.3f} ms ({r['speedup']:.2f}x, ideal "
+              f"{r['ideal']:.2f}x, {r['tflops']:.1f} eff TFLOP/s); "
+              f"fwd+bwd {r['win_bwd_ms']:.3f} ms vs {r['causal_bwd_ms']:.3f} "
+              f"ms ({r['speedup_bwd']:.2f}x, {r['tflops_bwd']:.1f} eff)",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "window_W4096_S16384_fwd_speedup_vs_causal",
+            "value": round(r["speedup"], 3),
+            "unit": "x",
+            "vs_baseline": round(r["speedup"] / r["ideal"], 3),
+            "details": {
+                "fwd_eff_tflops": round(r["tflops"], 1),
+                "fwdbwd_speedup": round(r["speedup_bwd"], 3),
+                "fwdbwd_eff_tflops": round(r["tflops_bwd"], 1),
+            },
         }))
         return
 
