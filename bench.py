@@ -720,13 +720,13 @@ def main():
                     # On-chip perf floors: regressions fail loudly.
                     if (S, causal, mode) == (4096, False, "fwd") and r["tflops"] < 140:
                         floor_violations.append(f"fwd S=4096 {r['tflops']:.1f} < 140")
-                    if (S, causal, mode) == (4096, False, "fwdbwd") and r["tflops"] < 135:
-                        floor_violations.append(f"fwdbwd S=4096 {r['tflops']:.1f} < 135")
-                    # Causal floors (split schedule in front since r4).
-                    if (S, causal, mode) == (4096, True, "fwd") and r["tflops"] < 105:
-                        floor_violations.append(f"fwd causal S=4096 {r['tflops']:.1f} < 105")
-                    if (S, causal, mode) == (4096, True, "fwdbwd") and r["tflops"] < 98:
-                        floor_violations.append(f"fwdbwd causal S=4096 {r['tflops']:.1f} < 98")
+                    if (S, causal, mode) == (4096, False, "fwdbwd") and r["tflops"] < 150:
+                        floor_violations.append(f"fwdbwd S=4096 {r['tflops']:.1f} < 150")
+                    # Causal floors (split fwd + work-list fused bwd, r5).
+                    if (S, causal, mode) == (4096, True, "fwd") and r["tflops"] < 115:
+                        floor_violations.append(f"fwd causal S=4096 {r['tflops']:.1f} < 115")
+                    if (S, causal, mode) == (4096, True, "fwdbwd") and r["tflops"] < 110:
+                        floor_violations.append(f"fwdbwd causal S=4096 {r['tflops']:.1f} < 110")
         if floor_violations:
             print("PERF FLOOR VIOLATED: " + "; ".join(floor_violations),
                   file=sys.stderr)

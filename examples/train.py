@@ -50,6 +50,10 @@ def main():
                          "--steps (0 = constant lr)")
     ap.add_argument("--grad-clip", type=float, default=1.0, metavar="NORM",
                     help="global-norm gradient clipping (0 = off)")
+    ap.add_argument("--steps-per-call", type=int, default=8, metavar="K",
+                    help="optimizer steps per host dispatch (lax.scan over "
+                         "K stacked batches); amortizes host-link latency "
+                         "(~25 ms/dispatch through the TPU tunnel)")
     args = ap.parse_args()
 
     import jax
@@ -121,8 +125,10 @@ def main():
         return {"params": new_params, "opt": opt_state,
                 "step": state["step"] + 1}, lval
 
+    spc = max(1, min(args.steps_per_call, args.steps))
     trainer = ResilientTrainer(step_fn, args.ckpt_dir,
-                               save_every=args.save_every)
+                               save_every=args.save_every,
+                               steps_per_call=spc)
     state, start = trainer.restore_or_init(state)
     if start:
         print(f"resumed from checkpoint step {start}")
@@ -134,41 +140,57 @@ def main():
     flops_per_step = 6 * n_params * tokens_per_step
 
     def batches():
+        from fa2_triton_tpu.utils.data import prefetch_to_device
+
         if args.data:
             from itertools import islice
 
-            from fa2_triton_tpu.utils.data import (
-                TokenLoader, open_corpus, prefetch_to_device,
-            )
+            from fa2_triton_tpu.utils.data import TokenLoader, open_corpus
 
             dl = TokenLoader(open_corpus(args.data, cfg.vocab_size),
                              args.batch, args.seq - 1, seed=0)
+            raw = islice(iter(dl), args.steps)
+        else:
+            # Synthetic tokens ride the same pipeline as real data.
+            def gen():
+                for _ in range(args.steps):
+                    yield np.asarray(
+                        rng.randint(0, cfg.vocab_size,
+                                    size=(args.batch, args.seq)), np.int32)
+            raw = gen()
+        if spc > 1:
+            # Host-stack K batches and ship each stack as ONE transfer: a
+            # device_put costs a ~25 ms tunnel round-trip here, so K
+            # per-step transfers would serialize against the K-step scan
+            # dispatch and cost more than the scan saves.
+            def stacks():
+                group = []
+                for b in raw:
+                    group.append(np.asarray(b))
+                    if len(group) == spc:
+                        yield np.stack(group)
+                        group = []
+                if group:
+                    yield np.stack(group)
             yield from prefetch_to_device(
-                islice(iter(dl), args.steps), size=2,
-                sharding=batch_sharding)
-            return
-        # Synthetic tokens ride the same double-buffered host->device
-        # prefetcher as real data: a bare device_put per step costs a
-        # ~25 ms tunnel round-trip on this environment (~16% of a 156M
-        # step), fully hidden by staging the next batch during compute.
-        from fa2_triton_tpu.utils.data import prefetch_to_device
+                stacks(), size=2,
+                sharding=NamedSharding(mesh, P(None, AXIS_DATA, None)))
+        else:
+            yield from prefetch_to_device(raw, size=2,
+                                          sharding=batch_sharding)
 
-        def gen():
-            for _ in range(args.steps):
-                yield np.asarray(
-                    rng.randint(0, cfg.vocab_size,
-                                size=(args.batch, args.seq)), np.int32)
-
-        yield from prefetch_to_device(gen(), size=2, sharding=batch_sharding)
-
-    # Warm the compile on one batch outside the timed region, then time the
+    # Warm the compiles on one batch outside the timed region, then time the
     # steady-state steps without the final checkpoint.
     warm = next(batches())
-    state, _, _ = trainer._step(state, warm)
+    if spc > 1:
+        state, _, _ = trainer._multi(state, warm)
+    else:
+        state, _, _ = trainer._step(state, warm)
     jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    state = trainer.run(state, batches(), start_step=start, final_save=False)
+    state = trainer.run(state, batches(), start_step=start, final_save=False,
+                        stacked=spc > 1)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     trainer._ckpt.save(start + args.steps + 1, state)

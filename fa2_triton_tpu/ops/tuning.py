@@ -126,7 +126,9 @@ def choose_block_sizes(seqlen_q: int, seqlen_k: int, head_dim_padded: int,
             # Per-batch length clamping skips whole KV blocks; a whole-strip
             # block makes that all-or-nothing, so varlen batches trade a few
             # percent of peak (142 vs 152 TFLOP/s dense) for 1024-granular
-            # skipping (bench.py --mode varlen: ~2x at 50% padding).
+            # skipping (bench.py --mode varlen: 1.66x at 50% padding for
+            # this lens-clamp path; the packed work-list kernels in
+            # ops/varlen.py measure 2.54x on the same batch).
             bkv = _waste_aware(seqlen_k, (1024, 512, 256, 128))
             bq = _waste_aware(seqlen_q, (512, 256, 128))
             if dtype_bits >= 32:

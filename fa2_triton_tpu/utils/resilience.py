@@ -63,6 +63,27 @@ def make_guarded_step(step_fn: Callable) -> Callable:
     return guarded
 
 
+def make_guarded_multi_step(step_fn: Callable) -> Callable:
+    """Scan the guarded step over a [K, ...]-stacked batch pytree.
+
+    One host dispatch runs K optimizer steps on device — through a
+    high-latency host link (the axon tunnel adds ~25-50 ms per dispatch)
+    per-step dispatch costs ~35% of a 156M-model step, and a K=8 scan
+    amortizes it to noise. Returns `(state, losses[K], oks[K])`.
+    """
+    guarded = make_guarded_step(step_fn)
+
+    def multi(state, batches):
+        def body(state, batch):
+            state, loss, ok = guarded(state, batch)
+            return state, (loss, ok)
+
+        state, (losses, oks) = jax.lax.scan(body, state, batches)
+        return state, losses, oks
+
+    return multi
+
+
 def devices_healthy(devices=None, timeout_s: float = 30.0) -> bool:
     """Probe that every device executes and returns a trivial program.
 
@@ -120,8 +141,12 @@ class ResilientTrainer:
     """
 
     def __init__(self, step_fn: Callable, ckpt_dir: str,
-                 save_every: int = 100, max_to_keep: int = 3):
+                 save_every: int = 100, max_to_keep: int = 3,
+                 steps_per_call: int = 1):
         self._step = jax.jit(make_guarded_step(step_fn))
+        self._multi = (jax.jit(make_guarded_multi_step(step_fn))
+                       if steps_per_call > 1 else None)
+        self._spc = max(1, steps_per_call)
         self._ckpt = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep)
         self._save_every = save_every
         self.report = TrainerReport()
@@ -136,25 +161,67 @@ class ResilientTrainer:
         return state, latest
 
     def run(self, state: Any, batches, start_step: int = 0,
-            final_save: bool = True) -> Any:
+            final_save: bool = True, stacked: bool = False) -> Any:
+        """`stacked=True`: each item of `batches` is already a [K, ...]
+        pytree (one host->device transfer per K steps — through a
+        high-latency link, per-step transfers serialize against the
+        dispatch and cost more than the stacking saves)."""
         step = start_step
-        oks, last_loss = [], None
-        for batch in batches:
-            state, loss, ok = self._step(state, batch)
-            step += 1
-            self.report.steps_run += 1
-            # Keep ok/loss as device values — converting here would force a
-            # host sync every step and serialize dispatch against compute;
-            # they are drained at checkpoint boundaries and at the end.
-            oks.append(ok)
+        skips, last_loss = [], None
+        pend = []
+
+        def advance(new_state, n, skip_count, loss):
+            # Keep skip/loss as device values — converting here would force
+            # a host sync every dispatch and serialize against compute;
+            # they are drained at the end of the run.
+            nonlocal state, step, last_loss
+            state = new_state
+            prev, step = step, step + n
+            self.report.steps_run += n
+            skips.append(skip_count)
             last_loss = loss
-            if step % self._save_every == 0:
+            if step // self._save_every > prev // self._save_every:
                 # Async save: the device->host transfer overlaps subsequent
                 # steps (arrays are immutable, so the state being replaced
                 # next step is safe to snapshot).
                 self._ckpt.save(step, state, wait=False)
-        self.report.steps_skipped += int(
-            sum(1 for ok in oks if not bool(ok)))
+
+        def flush_pend():
+            nonlocal pend
+            if len(pend) == self._spc:
+                # K steps per dispatch: one jitted scan over the stacked
+                # batches (make_guarded_multi_step) amortizes the per-call
+                # host-link latency.
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *pend)
+                new_state, losses, oks = self._multi(state, stacked)
+                advance(new_state, len(pend),
+                        jnp.sum(~oks).astype(jnp.int32), losses[-1])
+            else:  # remainder tail: single steps (no extra compile of a
+                # ragged scan length)
+                for b in pend:
+                    new_state, loss, ok = self._step(state, b)
+                    advance(new_state, 1, (~ok).astype(jnp.int32), loss)
+            pend = []
+
+        for batch in batches:
+            if stacked:
+                assert self._multi is not None, \
+                    "stacked batches need steps_per_call > 1"
+                k = jax.tree_util.tree_leaves(batch)[0].shape[0]
+                new_state, losses, oks = self._multi(state, batch)
+                advance(new_state, k, jnp.sum(~oks).astype(jnp.int32),
+                        losses[-1])
+            elif self._multi is None:
+                new_state, loss, ok = self._step(state, batch)
+                advance(new_state, 1, (~ok).astype(jnp.int32), loss)
+            else:
+                pend.append(batch)
+                if len(pend) == self._spc:
+                    flush_pend()
+        if pend:
+            flush_pend()
+        self.report.steps_skipped += int(sum(int(s) for s in skips))
         if last_loss is not None:
             self.report.last_loss = float(last_loss)
         if final_save:
